@@ -1,0 +1,123 @@
+"""Matrix samplers over the keyed PRNG core.
+
+- `HashSampler`: deterministic matrices from (key, tag) with bit-exact column
+  windows (reference `PolyHashSampler`, src/sampler/mod.rs:28-126 and
+  src/sampler/hash.rs) — shard-local regeneration of pseudorandom matrices is
+  communication-free by construction.
+- `UniformSampler`: fresh randomness (reference `PolyUniformSampler`,
+  src/sampler/uniform.rs) from a host-held splitting key.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import jax
+import jax.numpy as jnp
+
+from ..matrix import PolyMatrix
+from ..ring.params import RingParams
+from ..ring.poly import COEFF, Poly
+from . import core
+from .dist import BitDist, DistType, FinRingDist, GaussDist, TernaryDist
+
+
+def _dist_domain(dist: DistType) -> bytes:
+    if isinstance(dist, FinRingDist):
+        return b"finring"
+    if isinstance(dist, GaussDist):
+        return b"gauss" + struct.pack("<d", dist.sigma)
+    if isinstance(dist, BitDist):
+        return b"bit"
+    if isinstance(dist, TernaryDist):
+        return b"ternary"
+    raise TypeError(dist)
+
+
+def _sample_residues(key, dist: DistType, shape: tuple, q) -> jnp.ndarray:
+    """Draw residue planes uint32[L, *shape] for the given distribution."""
+    if isinstance(dist, FinRingDist):
+        return core.uniform_residues(key, shape, q)
+    if isinstance(dist, GaussDist):
+        return core.gauss_residues(key, shape, q, dist.sigma)
+    if isinstance(dist, BitDist):
+        return core.bit_residues(key, shape, q)
+    if isinstance(dist, TernaryDist):
+        return core.ternary_residues(key, shape, q)
+    raise TypeError(dist)
+
+
+def _columns_matrix(params: RingParams, base_key, dist: DistType, nrow: int, cols) -> PolyMatrix:
+    """Sample columns [col][L, nrow, n] via per-column fold_in; stack to a matrix."""
+    q = params.jt.moduli
+    n = params.n
+
+    def one_col(j):
+        k = jax.random.fold_in(base_key, j)
+        return _sample_residues(k, dist, (nrow, n), q)  # [L, nrow, n]
+
+    cols_arr = jnp.asarray(cols, dtype=jnp.uint32)
+    planes = jax.vmap(one_col)(cols_arr)  # [ncol, L, nrow, n]
+    data = jnp.transpose(planes, (1, 2, 0, 3))  # [L, nrow, ncol, n]
+    return PolyMatrix(data, COEFF, params)
+
+
+class HashSampler:
+    """Deterministic keyed sampler with exact column windows."""
+
+    def sample_hash(
+        self, params: RingParams, key: bytes, tag, nrow: int, ncol: int, dist: DistType
+    ) -> PolyMatrix:
+        return self.sample_hash_columns(params, key, tag, nrow, ncol, 0, ncol, dist)
+
+    def sample_hash_columns(
+        self,
+        params: RingParams,
+        key: bytes,
+        tag,
+        nrow: int,
+        total_ncol: int,
+        col_start: int,
+        col_len: int,
+        dist: DistType,
+    ) -> PolyMatrix:
+        assert col_start + col_len <= total_ncol, "column window out of bounds"
+        base = core.derive_key(key, tag, domain=_dist_domain(dist))
+        return _columns_matrix(params, base, dist, nrow, range(col_start, col_start + col_len))
+
+    def sample_hash_decomposed(self, params, key, tag, nrow, ncol, dist) -> PolyMatrix:
+        return self.sample_hash(params, key, tag, nrow, ncol, dist).decompose()
+
+    def sample_hash_decomposed_columns(
+        self, params, key, tag, nrow, total_ncol, col_start, col_len, dist
+    ) -> PolyMatrix:
+        return self.sample_hash_columns(
+            params, key, tag, nrow, total_ncol, col_start, col_len, dist
+        ).decompose()
+
+    def sample_hash_small_decomposed(self, params, key, tag, nrow, ncol, dist) -> PolyMatrix:
+        return self.sample_hash(params, key, tag, nrow, ncol, dist).small_decompose()
+
+
+class UniformSampler:
+    """Fresh-randomness sampler; host-held key split per call."""
+
+    def __init__(self, seed: int | None = None):
+        if seed is None:
+            seed = int.from_bytes(os.urandom(8), "little")
+        self._key = jax.random.key(seed, impl="threefry2x32")
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def sample_uniform(
+        self, params: RingParams, nrow: int, ncol: int, dist: DistType
+    ) -> PolyMatrix:
+        q = params.jt.moduli
+        planes = _sample_residues(self._next_key(), dist, (nrow, ncol, params.n), q)
+        return PolyMatrix(planes, COEFF, params)
+
+    def sample_poly(self, params: RingParams, dist: DistType) -> Poly:
+        return self.sample_uniform(params, 1, 1, dist).entry(0, 0)

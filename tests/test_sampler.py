@@ -1,0 +1,124 @@
+"""Sampler tests: determinism, window exactness, distributions, trapdoor."""
+
+import numpy as np
+import pytest
+
+import mxx_tpu  # noqa: F401
+
+from mxx_tpu.ring.params import RingParams
+from mxx_tpu.matrix import PolyMatrix
+from mxx_tpu.sampler import (
+    BitDist,
+    FinRingDist,
+    GaussDist,
+    HashSampler,
+    TernaryDist,
+    Trapdoor,
+    TrapdoorSampler,
+    UniformSampler,
+)
+
+KEY = bytes(range(32))
+SIGMA = 4.578
+
+
+def centered_max(mat: PolyMatrix) -> int:
+    """Max |coeff| over all entries, coefficients centered mod q."""
+    p = mat.params
+    q = p.modulus
+    arr = np.asarray(mat.to_coeff().data)
+    m = 0
+    for i in range(mat.nrow):
+        for j in range(mat.ncol):
+            for t in range(p.n):
+                c = p.reconstruct_coeff(arr[:, i, j, t])
+                m = max(m, min(c, q - c))
+    return m
+
+
+def test_hash_sampler_deterministic_and_window_exact():
+    params = RingParams.default()
+    s = HashSampler()
+    a = s.sample_hash(params, KEY, b"tag1", 2, 6, FinRingDist())
+    b = s.sample_hash(params, KEY, b"tag1", 2, 6, FinRingDist())
+    assert a == b
+    c = s.sample_hash(params, KEY, b"tag2", 2, 6, FinRingDist())
+    assert not (a == c)
+    # column window regenerates the same bits as slicing the full matrix
+    win = s.sample_hash_columns(params, KEY, b"tag1", 2, 6, 2, 3, FinRingDist())
+    assert win == a.slice_columns(2, 5)
+
+
+def test_hash_sampler_dists():
+    params = RingParams.new(16, 2, 20, 1)
+    s = HashSampler()
+    q = params.modulus
+    bits = s.sample_hash(params, KEY, b"b", 1, 4, BitDist())
+    for j in range(4):
+        assert set(bits.entry(0, j).coeffs()) <= {0, 1}
+    tern = s.sample_hash(params, KEY, b"t", 1, 4, TernaryDist())
+    for j in range(4):
+        assert set(tern.entry(0, j).coeffs()) <= {0, 1, q - 1}
+    g = s.sample_hash(params, KEY, b"g", 1, 8, GaussDist(SIGMA))
+    assert centered_max(g) <= int(12 * SIGMA) + 1
+
+
+def test_uniform_sampler_fresh():
+    params = RingParams.default()
+    s = UniformSampler(seed=7)
+    a = s.sample_uniform(params, 2, 2, FinRingDist())
+    b = s.sample_uniform(params, 2, 2, FinRingDist())
+    assert not (a == b)
+    # reproducible given the seed
+    s2 = UniformSampler(seed=7)
+    a2 = s2.sample_uniform(params, 2, 2, FinRingDist())
+    assert a == a2
+
+
+def test_gauss_distribution_moments():
+    params = RingParams.new(256, 1, 28, 1)
+    s = UniformSampler(seed=11)
+    g = s.sample_uniform(params, 4, 4, GaussDist(SIGMA))
+    q = params.modulus
+    arr = np.asarray(g.to_coeff().data)[0].astype(np.int64)
+    arr = np.where(arr > q // 2, arr - q, arr)
+    vals = arr.ravel().astype(np.float64)
+    assert abs(vals.mean()) < 0.5
+    assert abs(vals.std() - SIGMA) < 0.5
+
+
+@pytest.mark.parametrize("n,depth,crt_bits,base_bits,d", [(4, 2, 17, 1, 1), (16, 2, 20, 5, 2)])
+def test_trapdoor_preimage_identity(n, depth, crt_bits, base_bits, d):
+    params = RingParams.new(n, depth, crt_bits, base_bits)
+    ts = TrapdoorSampler(params, SIGMA, seed=3)
+    td, a = ts.trapdoor(params, d)
+    k = params.modulus_digits
+    assert a.shape == (d, d * (k + 2))
+    target = UniformSampler(seed=5).sample_uniform(params, d, 3, FinRingDist())
+    x = ts.preimage(params, td, a, target)
+    assert x.shape == (d * (k + 2), 3)
+    assert (a @ x) == target
+    # preimage entries are small (perturbation + digits + R/E products)
+    s = 1.8 * (params.base + 1) * SIGMA * SIGMA * (
+        np.sqrt(d * n * k) + np.sqrt(2 * n) + 4.7
+    )
+    assert centered_max(x) < 30 * s * np.sqrt(d * k * n)
+
+
+def test_preimage_extend_identity():
+    params = RingParams.default()
+    ts = TrapdoorSampler(params, SIGMA, seed=9)
+    td, b = ts.trapdoor(params, 1)
+    us = UniformSampler(seed=13)
+    c = us.sample_uniform(params, 1, 2, FinRingDist())
+    u = us.sample_uniform(params, 1, 2, FinRingDist())
+    x = ts.preimage_extend(params, td, b, c, u)
+    assert (b.concat_columns([c]) @ x) == u
+
+
+def test_trapdoor_serde():
+    params = RingParams.default()
+    ts = TrapdoorSampler(params, SIGMA, seed=1)
+    td, _ = ts.trapdoor(params, 1)
+    back = Trapdoor.from_compact_bytes(params, td.to_compact_bytes())
+    assert back.r == td.r and back.e == td.e
