@@ -197,6 +197,16 @@ class Poly:
     def __hash__(self):
         return id(self)
 
+    # ------------------------------------------- Evaluable surface (circuits)
+
+    def small_scalar_mul(self, params: RingParams, scalar: list[int]) -> "Poly":
+        coeffs = list(scalar) + [0] * (params.n - len(scalar))
+        return self * Poly.from_int_coeffs(params, coeffs)
+
+    def large_scalar_mul(self, params: RingParams, scalar: list[int]) -> "Poly":
+        coeffs = list(scalar) + [0] * (params.n - len(scalar))
+        return self * Poly.from_int_coeffs(params, coeffs)
+
     # --------------------------------------------------- digit decomposition
 
     def decompose_base(self) -> list["Poly"]:
