@@ -36,7 +36,11 @@ from .gate import (
 
 @dataclass
 class PolyCircuit:
-    gates: list[Gate] = field(default_factory=list)
+    """Gate 0 is the reserved constant-one input wire (reference
+    construction.rs:4-10); `input(n)` creates the n user-input wires after it
+    and `num_input` counts user inputs only."""
+
+    gates: list[Gate] = field(default_factory=lambda: [Gate(0, INPUT, ())])
     num_input: int = 0
     output_ids: list[int] = field(default_factory=list)
     luts: dict[int, Any] = field(default_factory=dict)
@@ -200,12 +204,11 @@ class PolyCircuit:
     ) -> list:
         """Evaluate the circuit over wires of any Evaluable-like type.
 
-        `one` feeds wire 0 (the implicit constant-one input); `inputs` feed
-        the remaining Input gates in order (reference eval.rs:7-60).
+        `one` feeds wire 0 (the reserved constant-one input); `inputs` feed
+        the user Input gates in order (reference eval.rs:232-264).
         """
-        assert self.num_input >= 1, "circuit must declare at least the one-input"
-        assert len(inputs) == self.num_input - 1, (
-            f"expected {self.num_input - 1} inputs, got {len(inputs)}"
+        assert len(inputs) == self.num_input, (
+            f"expected {self.num_input} inputs, got {len(inputs)}"
         )
         uses = self.use_counts()
         wires: dict[int, Any] = {0: one}

@@ -1,0 +1,48 @@
+"""Env-var configuration (reference /root/reference/src/env.rs:31-185).
+
+Same variable names as the reference where the concept carries over, so
+existing deployment recipes translate directly.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def _env_int(name: str, default: int) -> int:
+    v = os.environ.get(name)
+    return int(v) if v else default
+
+
+def circuit_parallel_gates(override: int | None = None) -> int:
+    if override is not None:
+        return override
+    return _env_int("MXX_CIRCUIT_PARALLEL_GATES", 8)
+
+
+def lut_preimage_chunk_size() -> int:
+    return _env_int("LUT_PREIMAGE_CHUNK_SIZE", 16)
+
+
+def aux_sampling_chunk_width() -> int:
+    return _env_int("AUX_SAMPLING_CHUNK_WIDTH", 1 << 12)
+
+
+def mul_decompose_column_chunk_width() -> int:
+    return _env_int("MXX_MUL_DECOMPOSE_COLUMN_CHUNK_WIDTH", 0)  # 0 = no chunking
+
+
+def noise_refresh_decoder_chunk_size() -> int:
+    return _env_int("MXX_NOISE_REFRESH_DECODER_CHUNK_SIZE", 8)
+
+
+def block_size() -> int:
+    return _env_int("BLOCK_SIZE", 64)
+
+
+def lut_bytes_limit() -> int:
+    return _env_int("LUT_BYTES_LIMIT", 1 << 30)
+
+
+def diamond_io_eval_relation_asserts() -> bool:
+    return os.environ.get("MXX_DIAMOND_IO_EVAL_RELATION_ASSERTS", "") == "1"

@@ -1,0 +1,147 @@
+"""LWE-style public lookup-table evaluators over BGG+ wires.
+
+TPU-native build of the reference LWE lookup
+(/root/reference/src/lookup/lwe/{pubkey.rs,encoding.rs,utils.rs};
+SURVEY.md A.1). For a gate g with input pubkey A_z and hash-derived output
+pubkey A_LT, each LUT entry (x_k -> row k, y_k) gets:
+
+    ext      = A_z  - G * x_k
+    target   = A_LT - G * y_k
+    K_low(k) = HashDecomposed(key, "LWE_R_G_{gate}_{lut}_{k}_slot{s}")
+    K_high(k)= Preimage_{B,T}(target - ext * K_low(k))
+
+Offline, the pubkey evaluator records gate states during circuit evaluation
+and `sample_aux_matrices` persists the K_high rows to the artifact store.
+Online, the encoding evaluator reads K_high(k) back, re-derives K_low(k) from
+the hash, and outputs c_out = c_b * K_high(k) + c_z * K_low(k), which encodes
+y_k under A_LT (c_b = s*B is the evaluator's stored base encoding).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from ..bgg import BggEncoding, BggPublicKey
+from ..matrix import PolyMatrix
+from ..ring.poly import Poly
+from ..sampler import FinRingDist, HashSampler, Trapdoor, TrapdoorSampler
+from ..storage import add_lookup_buffer, get_lookup_buffer, read_matrix_from_multi_batch
+from .public_lut import PublicLut
+
+
+def derive_a_lt_matrix(params, row_size: int, hash_key: bytes, gate_id: int, slot_idx=None):
+    m_g = row_size * params.modulus_digits
+    tag = f"A_LT_{gate_id}_slot{slot_idx or 0}"
+    return HashSampler().sample_hash(params, hash_key, tag, row_size, m_g, FinRingDist())
+
+
+def _k_low_tag(gate_id: int, lut_id: int, lut_entry_idx: int, slot_idx=None) -> str:
+    return f"LWE_R_G_{gate_id}_{lut_id}_{lut_entry_idx}_slot{slot_idx or 0}"
+
+
+def derive_k_low(params, row_size: int, hash_key: bytes, gate_id: int, lut_id: int,
+                 lut_entry_idx: int, slot_idx=None) -> PolyMatrix:
+    m_g = row_size * params.modulus_digits
+    raw = HashSampler().sample_hash(
+        params, hash_key, _k_low_tag(gate_id, lut_id, lut_entry_idx, slot_idx),
+        row_size, m_g, FinRingDist(),
+    )
+    return raw.decompose()
+
+
+def k_high_checkpoint_prefix(gate_id: int, lut_id: int, slot_idx=None) -> str:
+    return f"LWE_K_H_{gate_id}_{lut_id}_slot{slot_idx or 0}"
+
+
+@dataclass
+class _GateState:
+    lut_id: int
+    input_pubkey: PolyMatrix
+    output_pubkey: PolyMatrix
+
+
+class LWEBGGPubKeyPltEvaluator:
+    """Offline (pubkey-path) evaluator (reference lwe/pubkey.rs:217-608)."""
+
+    def __init__(
+        self,
+        hash_key: bytes,
+        trap_sampler: TrapdoorSampler,
+        pub_matrix: PolyMatrix,
+        trapdoor: Trapdoor,
+        dir_path,
+    ):
+        self.hash_key = hash_key
+        self.trap_sampler = trap_sampler
+        self.pub_matrix = pub_matrix
+        self.trapdoor = trapdoor
+        self.dir_path = Path(dir_path)
+        self.lut_state: dict[int, PublicLut] = {}
+        self.gate_state: dict[tuple[int, int], _GateState] = {}
+
+    def public_lookup(self, params, plt: PublicLut, one, input_pk: BggPublicKey,
+                      gate_id: int, lut_id: int, slot_idx=None) -> BggPublicKey:
+        row_size = input_pk.matrix.nrow
+        a_lt = derive_a_lt_matrix(params, row_size, self.hash_key, gate_id, slot_idx)
+        self.lut_state.setdefault(lut_id, plt)
+        self.gate_state[(gate_id, slot_idx or 0)] = _GateState(
+            lut_id, input_pk.matrix, a_lt
+        )
+        return BggPublicKey(a_lt, True)
+
+    def sample_aux_matrices(self, params):
+        """Sample + persist K_high preimage rows for every recorded gate."""
+        for (gate_id, slot_idx), state in list(self.gate_state.items()):
+            plt = self.lut_state[state.lut_id]
+            buffer = self._sample_k_high_buffer(
+                params, plt, state.input_pubkey, state.output_pubkey,
+                gate_id, state.lut_id, slot_idx,
+            )
+            add_lookup_buffer(buffer)
+        self.gate_state.clear()
+
+    def _sample_k_high_buffer(self, params, plt, a_z, a_lt, gate_id, lut_id, slot_idx):
+        row_size = self.pub_matrix.nrow
+        gadget = PolyMatrix.gadget_matrix(params, row_size)
+        rows = []
+        for x_k, (k, y_k) in plt.entries(params):
+            x_poly = Poly.const(params, x_k)
+            y_poly = Poly.from_elem_to_constant(params, y_k)
+            ext_matrix = a_z - gadget.mul_poly_scalar(x_poly)
+            target = a_lt - gadget.mul_poly_scalar(y_poly)
+            k_low = derive_k_low(
+                params, row_size, self.hash_key, gate_id, lut_id, k, slot_idx
+            )
+            adjusted = target - ext_matrix @ k_low
+            k_high = self.trap_sampler.preimage(params, self.trapdoor, self.pub_matrix, adjusted)
+            rows.append((k, k_high))
+        return get_lookup_buffer(rows, k_high_checkpoint_prefix(gate_id, lut_id, slot_idx))
+
+
+class LWEBGGEncodingPltEvaluator:
+    """Online (encoding-path) evaluator (reference lwe/encoding.rs:32-283)."""
+
+    def __init__(self, hash_key: bytes, dir_path, c_b: PolyMatrix):
+        self.hash_key = hash_key
+        self.dir_path = Path(dir_path)
+        self.c_b = c_b
+
+    def public_lookup(self, params, plt: PublicLut, one, input_enc: BggEncoding,
+                      gate_id: int, lut_id: int, slot_idx=None) -> BggEncoding:
+        assert input_enc.plaintext is not None, "LWE lookup input must reveal its plaintext"
+        z = input_enc.plaintext.const_coeff()
+        got = plt.get(params, int(z))
+        if got is None:
+            raise KeyError(f"{z} does not exist in public lookup table {lut_id}")
+        k, y_k = got
+        y_poly = Poly.from_elem_to_constant(params, y_k)
+        row_size = input_enc.pubkey.matrix.nrow
+        a_lt = derive_a_lt_matrix(params, row_size, self.hash_key, gate_id, slot_idx)
+        k_high = read_matrix_from_multi_batch(
+            params, self.dir_path, k_high_checkpoint_prefix(gate_id, lut_id, slot_idx), k
+        )
+        assert k_high is not None, f"missing stored K_high for gate {gate_id} row {k}"
+        k_low = derive_k_low(params, row_size, self.hash_key, gate_id, lut_id, k, slot_idx)
+        vector = self.c_b @ k_high + input_enc.vector @ k_low
+        return BggEncoding(vector, BggPublicKey(a_lt, True), y_poly)

@@ -73,9 +73,9 @@ def test_circuit_eval_poly_wires():
     params = RingParams.default()
     us = UniformSampler(seed=3)
     circuit = PolyCircuit()
-    wires = circuit.input(3)  # wire 0 = one, wires 1,2 = inputs
-    w_add = circuit.add_gate(wires[1], wires[2])
-    w_mul = circuit.mul_gate(w_add, wires[1])
+    wires = circuit.input(2)  # gate 0 is the reserved one-wire
+    w_add = circuit.add_gate(wires[0], wires[1])
+    w_mul = circuit.mul_gate(w_add, wires[0])
     w_s = circuit.small_scalar_mul(w_mul, [3])
     circuit.output([w_add, w_mul, w_s])
     x1 = us.sample_poly(params, BitDist())
@@ -89,15 +89,15 @@ def test_circuit_eval_poly_wires():
 def test_circuit_boolean_gates():
     params = RingParams.default()
     circuit = PolyCircuit()
-    w = circuit.input(3)
+    w = circuit.input(2)
     outs_ids = [
-        circuit.and_gate(w[1], w[2]),
-        circuit.or_gate(w[1], w[2]),
-        circuit.xor_gate(w[1], w[2]),
-        circuit.not_gate(w[1]),
-        circuit.nand_gate(w[1], w[2]),
-        circuit.nor_gate(w[1], w[2]),
-        circuit.xnor_gate(w[1], w[2]),
+        circuit.and_gate(w[0], w[1]),
+        circuit.or_gate(w[0], w[1]),
+        circuit.xor_gate(w[0], w[1]),
+        circuit.not_gate(w[0]),
+        circuit.nand_gate(w[0], w[1]),
+        circuit.nor_gate(w[0], w[1]),
+        circuit.xnor_gate(w[0], w[1]),
     ]
     circuit.output(outs_ids)
     for a in (0, 1):
@@ -113,10 +113,10 @@ def test_circuit_boolean_gates():
 def test_circuit_lut_gate_poly():
     params = RingParams.default()
     circuit = PolyCircuit()
-    w = circuit.input(2)
+    w = circuit.input(1)
     lut = PublicLut.from_dict(params, {x: (x, (x * x + 1) % 7) for x in range(8)})
     lut_id = circuit.register_public_lut(lut)
-    w_out = circuit.public_lookup_gate(w[1], lut_id)
+    w_out = circuit.public_lookup_gate(w[0], lut_id)
     circuit.output([w_out])
     for x in range(8):
         outs = circuit.eval(
@@ -133,9 +133,9 @@ def test_circuit_eval_bgg_encoding_vs_plaintext():
     and the output encoding satisfies the BGG invariant."""
     params = RingParams.default()
     circuit = PolyCircuit()
-    w = circuit.input(3)
-    w1 = circuit.mul_gate(w[1], w[2])
-    w2 = circuit.add_gate(w1, w[1])
+    w = circuit.input(2)
+    w1 = circuit.mul_gate(w[0], w[1])
+    w2 = circuit.add_gate(w1, w[0])
     w3 = circuit.small_scalar_mul(w2, [2])
     circuit.output([w3])
     secrets, pubkeys, plaintexts, encodings, es = make_bgg(params, d=1, num_inputs=2, seed=11)
@@ -149,9 +149,9 @@ def test_circuit_eval_bgg_encoding_vs_plaintext():
 
 def test_levels_and_counts():
     circuit = PolyCircuit()
-    w = circuit.input(3)
-    a = circuit.add_gate(w[1], w[2])
-    m = circuit.mul_gate(a, w[1])
+    w = circuit.input(2)
+    a = circuit.add_gate(w[0], w[1])
+    m = circuit.mul_gate(a, w[0])
     circuit.output([m])
     levels = circuit.compute_levels()
     assert levels == [[a], [m]]
