@@ -1,0 +1,65 @@
+"""Headline benchmark: negacyclic NTT throughput per chip at n=2^13.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference's CUDA NTT (MatrixNTT.cu) on an H200 is estimated at
+~4.0e5 limb-transforms/s at n=2^13 (bandwidth-bound radix-2 over u64 limbs;
+no published numbers exist — see BASELINE.md). vs_baseline = value / 4.0e5.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import mxx_tpu  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from mxx_tpu.ring.params import RingParams
+from mxx_tpu.ring.ntt import ntt_fwd
+
+CUDA_BASELINE_NTT_PER_S = 4.0e5
+
+N = 1 << 13
+L = 8
+BATCH = 32
+ITERS = 20
+
+
+def main():
+    params = RingParams.new(N, L, 28, 14)
+    jt = params.jt
+    rng = np.random.default_rng(0)
+    x = np.empty((L, BATCH, N), dtype=np.uint32)
+    for t, q in enumerate(params.moduli):
+        x[t] = rng.integers(0, q, size=(BATCH, N), dtype=np.uint64).astype(np.uint32)
+    x = jnp.asarray(x)
+
+    fn = jax.jit(lambda v: ntt_fwd(v, jt.psi_rev_mont, jt.moduli, jt.qinv_neg))
+    # warmup / compile
+    fn(x).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        y = fn(x)
+    y.block_until_ready()
+    elapsed = time.perf_counter() - t0
+    transforms = L * BATCH * ITERS
+    rate = transforms / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": f"ntt_limb_transforms_per_s_n{N}_L{L}",
+                "value": round(rate, 1),
+                "unit": "limb-NTTs/s",
+                "vs_baseline": round(rate / CUDA_BASELINE_NTT_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
