@@ -1,0 +1,54 @@
+"""Vector-wire LUT evaluators: slotwise plaintext + slotwise LWE wrappers.
+
+Reference: /root/reference/src/lookup/{poly_vec.rs,lwe/naive_vec.rs}.
+"""
+
+from __future__ import annotations
+
+from ..bgg.vec import BGGEncodingVec, BGGPublicKeyVec
+from ..circuit.poly_vec import PolyVec
+from ..ring.poly import Poly
+from .lwe import LWEBGGEncodingPltEvaluator, LWEBGGPubKeyPltEvaluator
+
+
+class PolyVecPltEvaluator:
+    def public_lookup(self, params, plt, one, input_vec: PolyVec, gate_id, lut_id):
+        out = []
+        for p in input_vec.slots:
+            x = p.const_coeff()
+            got = plt.get(params, int(x))
+            if got is None:
+                raise KeyError(f"{x} not in LUT {lut_id} (gate {gate_id})")
+            out.append(Poly.from_elem_to_constant(params, got[1]))
+        return PolyVec.new(out)
+
+
+class LWEBGGVecPubKeyPltEvaluator:
+    """Slotwise offline LWE evaluator over BGGPublicKeyVec wires."""
+
+    def __init__(self, scalar: LWEBGGPubKeyPltEvaluator):
+        self.scalar = scalar
+
+    def public_lookup(self, params, plt, one, input_vec: BGGPublicKeyVec, gate_id, lut_id):
+        keys = [
+            self.scalar.public_lookup(params, plt, None, pk, gate_id, lut_id, slot_idx=s)
+            for s, pk in enumerate(input_vec.keys)
+        ]
+        return BGGPublicKeyVec.new(keys)
+
+    def sample_aux_matrices(self, params):
+        self.scalar.sample_aux_matrices(params)
+
+
+class LWEBGGVecEncodingPltEvaluator:
+    """Slotwise online LWE evaluator over BGGEncodingVec wires."""
+
+    def __init__(self, scalar: LWEBGGEncodingPltEvaluator):
+        self.scalar = scalar
+
+    def public_lookup(self, params, plt, one, input_vec: BGGEncodingVec, gate_id, lut_id):
+        encs = [
+            self.scalar.public_lookup(params, plt, None, e, gate_id, lut_id, slot_idx=s)
+            for s, e in enumerate(input_vec.encodings)
+        ]
+        return BGGEncodingVec.new(encs)
