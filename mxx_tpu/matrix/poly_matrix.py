@@ -75,6 +75,17 @@ class PolyMatrix:
         return PolyMatrix.from_polys(params, [[p] for p in polys])
 
     @staticmethod
+    def scaled_unit_column_vector(params, size: int, index: int, scalar: Poly) -> "PolyMatrix":
+        assert index < size, "unit column index must be in range"
+        data = jnp.zeros((params.crt_depth, size, 1, params.n), dtype=jnp.uint32)
+        data = data.at[:, index, 0, :].set(scalar.to_eval().data)
+        return PolyMatrix(data, EVAL, params)
+
+    @staticmethod
+    def unit_column_vector(params, size: int, index: int) -> "PolyMatrix":
+        return PolyMatrix.scaled_unit_column_vector(params, size, index, Poly.one(params))
+
+    @staticmethod
     def gadget_matrix(params: RingParams, size: int) -> "PolyMatrix":
         """G = I_size tensor g, g the k-digit gadget row vector (EVAL form).
 

@@ -221,15 +221,16 @@ class Poly:
             out.append(Poly.from_int_coeffs(p, [(c >> shift) & base_mask for c in coeffs]))
         return out
 
-    def extract_bits_with_threshold(self, threshold: int) -> list[int]:
-        """1 bit per coefficient: whether the centered |coeff| exceeds the
-        threshold (used by decode paths)."""
+    def extract_bits_with_threshold(self) -> list[bool]:
+        """1 bit per coefficient: whether coeff falls in [q/4, 3q/4) —
+        decodes a half-q-scaled message bit (reference poly.rs:329-340)."""
         q = self.params.modulus
-        bits = []
-        for c in self.coeffs():
-            centered = c if c <= q // 2 else q - c
-            bits.append(1 if centered > threshold else 0)
-        return bits
+        quarter = ((q + 1) // 2) >> 1
+        three_quarter = quarter * 3
+        return [quarter <= c < three_quarter for c in self.coeffs()]
+
+    def to_bool_vec(self) -> list[bool]:
+        return [c == 1 for c in self.coeffs()]
 
     # ---------------------------------------------------------------- serde
 

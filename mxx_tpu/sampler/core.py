@@ -52,8 +52,10 @@ def gauss_table(sigma: float) -> tuple[np.ndarray, int]:
     p = np.exp(logp - logp.max())
     p /= p.sum()
     cum = np.cumsum(p)
-    thresholds = np.minimum((cum * float(2**64)).astype(np.float64), float(2**64 - 1))
-    return thresholds.astype(np.uint64), fin
+    thresholds = np.array(
+        [min(int(c * 2**64), 2**64 - 1) for c in cum], dtype=np.uint64
+    )
+    return thresholds, fin
 
 
 @functools.partial(jax.jit, static_argnames=("shape",))
