@@ -29,9 +29,40 @@ from .gate import (
     SLOT_TRANSFER,
     SMALL_SCALAR_MUL,
     SUB,
+    SUB_CIRCUIT_OUTPUT,
+    SUMMED_SUB_CIRCUIT_OUTPUT,
     Gate,
     SlotTransferSpec,
 )
+
+
+# Sub-circuit parameter kinds (reference SubCircuitParamKind, gate.rs:38-43)
+PARAM_SMALL_SCALAR_MUL = "SmallScalarMul"
+PARAM_LARGE_SCALAR_MUL = "LargeScalarMul"
+PARAM_SLOT_TRANSFER = "SlotTransfer"
+
+_PARAM = "param"  # payload marker for param-sourced gate payloads
+
+
+@dataclass
+class SubCircuitCall:
+    """Reference SubCircuitCall / SerializableSubCircuitCall (serde.rs:66-78)."""
+
+    sub_circuit_id: int
+    inputs: tuple[int, ...]
+    param_bindings: tuple
+    output_gate_ids: list[int] = field(default_factory=list)
+
+
+@dataclass
+class SummedSubCircuitCall:
+    """N calls of the same sub-circuit whose outputs are summed
+    (reference subcircuits.rs:708-800)."""
+
+    sub_circuit_id: int
+    call_inputs: tuple[tuple[int, ...], ...]
+    param_bindings: tuple  # one bindings tuple per call
+    output_gate_ids: list[int] = field(default_factory=list)
 
 
 @dataclass
@@ -44,6 +75,10 @@ class PolyCircuit:
     num_input: int = 0
     output_ids: list[int] = field(default_factory=list)
     luts: dict[int, Any] = field(default_factory=dict)
+    sub_circuits: dict[int, "PolyCircuit"] = field(default_factory=dict)
+    sub_circuit_calls: dict[int, SubCircuitCall] = field(default_factory=dict)
+    summed_sub_circuit_calls: dict[int, SummedSubCircuitCall] = field(default_factory=dict)
+    sub_circuit_params: list[str] = field(default_factory=list)
 
     # ------------------------------------------------------------- builder
 
@@ -141,6 +176,90 @@ class PolyCircuit:
         self.luts[lut_id] = lut
         return lut_id
 
+    # ---------------------------------------------------------- sub-circuits
+
+    def fresh_sub_circuit(self) -> "PolyCircuit":
+        """New circuit sharing this circuit's LUT registry (reference
+        subcircuits.rs:140 — registry handles are inherited so lut_ids are
+        globally consistent across parent and children)."""
+        sub = PolyCircuit()
+        sub.luts = self.luts
+        return sub
+
+    def register_sub_circuit_param(self, kind: str) -> int:
+        assert kind in (PARAM_SMALL_SCALAR_MUL, PARAM_LARGE_SCALAR_MUL, PARAM_SLOT_TRANSFER)
+        self.sub_circuit_params.append(kind)
+        return len(self.sub_circuit_params) - 1
+
+    def small_scalar_mul_param(self, input_id: int, param_id: int) -> int:
+        assert self.sub_circuit_params[param_id] == PARAM_SMALL_SCALAR_MUL
+        return self._new_gate(SMALL_SCALAR_MUL, [input_id], (_PARAM, param_id))
+
+    def large_scalar_mul_param(self, input_id: int, param_id: int) -> int:
+        assert self.sub_circuit_params[param_id] == PARAM_LARGE_SCALAR_MUL
+        return self._new_gate(LARGE_SCALAR_MUL, [input_id], (_PARAM, param_id))
+
+    def slot_transfer_gate_param(self, input_id: int, param_id: int) -> int:
+        assert self.sub_circuit_params[param_id] == PARAM_SLOT_TRANSFER
+        return self._new_gate(SLOT_TRANSFER, [input_id], (_PARAM, param_id))
+
+    def register_sub_circuit(self, sub: "PolyCircuit") -> int:
+        if sub.luts is not self.luts and sub.luts:
+            for lid, lut in sub.luts.items():
+                assert lid not in self.luts or self.luts[lid] is lut, (
+                    "LUT id clash between parent and sub-circuit; use fresh_sub_circuit()"
+                )
+                self.luts[lid] = lut
+        sub.luts = self.luts
+        cid = len(self.sub_circuits)
+        self.sub_circuits[cid] = sub
+        return cid
+
+    def call_sub_circuit(
+        self, circuit_id: int, inputs: list[int], param_bindings: tuple = ()
+    ) -> list[int]:
+        sub = self.sub_circuits[circuit_id]
+        assert len(inputs) == sub.num_input, (len(inputs), sub.num_input)
+        assert len(param_bindings) == len(sub.sub_circuit_params)
+        call_id = len(self.sub_circuit_calls)
+        call = SubCircuitCall(circuit_id, tuple(inputs), tuple(param_bindings))
+        self.sub_circuit_calls[call_id] = call
+        out_ids = []
+        for out_idx in range(sub.num_output):
+            gid = self._new_gate(SUB_CIRCUIT_OUTPUT, list(inputs), (call_id, out_idx))
+            out_ids.append(gid)
+        call.output_gate_ids = out_ids
+        return out_ids
+
+    def call_sub_circuit_sum_many(
+        self,
+        circuit_id: int,
+        call_inputs: list[list[int]],
+        param_bindings_list: list[tuple] | None = None,
+    ) -> list[int]:
+        sub = self.sub_circuits[circuit_id]
+        assert call_inputs, "summed call requires at least one input set"
+        if param_bindings_list is None:
+            param_bindings_list = [()] * len(call_inputs)
+        assert len(param_bindings_list) == len(call_inputs)
+        for ins, pb in zip(call_inputs, param_bindings_list):
+            assert len(ins) == sub.num_input
+            assert len(pb) == len(sub.sub_circuit_params)
+        summed_id = len(self.summed_sub_circuit_calls)
+        call = SummedSubCircuitCall(
+            circuit_id,
+            tuple(tuple(s) for s in call_inputs),
+            tuple(tuple(pb) for pb in param_bindings_list),
+        )
+        self.summed_sub_circuit_calls[summed_id] = call
+        flat = [w for s in call_inputs for w in s]
+        out_ids = []
+        for out_idx in range(sub.num_output):
+            gid = self._new_gate(SUMMED_SUB_CIRCUIT_OUTPUT, flat, (summed_id, out_idx))
+            out_ids.append(gid)
+        call.output_gate_ids = out_ids
+        return out_ids
+
     def public_lookup_gate(self, input_id: int, lut_id: int) -> int:
         return self._new_gate(PUB_LUT, [input_id], lut_id)
 
@@ -194,6 +313,12 @@ class PolyCircuit:
 
     # ---------------------------------------------------------------- eval
 
+    def _resolve_payload(self, payload, bindings):
+        """Resolve a param-sourced gate payload against call bindings."""
+        if isinstance(payload, tuple) and len(payload) == 2 and payload[0] == _PARAM:
+            return bindings[payload[1]]
+        return payload
+
     def eval(
         self,
         params,
@@ -201,11 +326,14 @@ class PolyCircuit:
         inputs: list,
         plt_evaluator=None,
         slot_transfer_evaluator=None,
+        param_bindings: tuple = (),
     ) -> list:
         """Evaluate the circuit over wires of any Evaluable-like type.
 
         `one` feeds wire 0 (the reserved constant-one input); `inputs` feed
-        the user Input gates in order (reference eval.rs:232-264).
+        the user Input gates in order (reference eval.rs:232-264). Gates are
+        evaluated in topological (id) order, wires freed by use count; sub-
+        circuit calls recurse with their bound parameters (subcircuits.rs).
         """
         assert len(inputs) == self.num_input, (
             f"expected {self.num_input} inputs, got {len(inputs)}"
@@ -215,11 +343,25 @@ class PolyCircuit:
         for i, v in enumerate(inputs):
             wires[i + 1] = v
         remaining = list(uses)
+        call_cache: dict[int, list] = {}
+        summed_cache: dict[int, list] = {}
+        out_set = set(self.output_ids)
 
         def consume(i: int):
             remaining[i] -= 1
-            if remaining[i] == 0 and i not in self.output_ids:
+            if remaining[i] == 0 and i not in out_set:
                 wires.pop(i, None)
+
+        def eval_sub(circuit_id, sub_inputs, bindings):
+            sub = self.sub_circuits[circuit_id]
+            return sub.eval(
+                params,
+                one,
+                sub_inputs,
+                plt_evaluator,
+                slot_transfer_evaluator,
+                param_bindings=bindings,
+            )
 
         for g in self.gates:
             if g.kind == INPUT:
@@ -232,9 +374,11 @@ class PolyCircuit:
             elif g.kind == MUL:
                 out = ins[0] * ins[1]
             elif g.kind == SMALL_SCALAR_MUL:
-                out = ins[0].small_scalar_mul(params, list(g.payload))
+                scalar = self._resolve_payload(g.payload, param_bindings)
+                out = ins[0].small_scalar_mul(params, list(scalar))
             elif g.kind == LARGE_SCALAR_MUL:
-                out = ins[0].large_scalar_mul(params, list(g.payload))
+                scalar = self._resolve_payload(g.payload, param_bindings)
+                out = ins[0].large_scalar_mul(params, list(scalar))
             elif g.kind == PUB_LUT:
                 assert plt_evaluator is not None, "PubLut gate requires a plt_evaluator"
                 lut = self.luts[g.payload]
@@ -243,14 +387,36 @@ class PolyCircuit:
                 assert slot_transfer_evaluator is not None, (
                     "SlotTransfer gate requires a slot_transfer_evaluator"
                 )
+                spec = self._resolve_payload(g.payload, param_bindings)
                 out = slot_transfer_evaluator.slot_transfer(
-                    params, ins[0], g.payload.materialize(), g.gate_id
+                    params, ins[0], spec.materialize(), g.gate_id
                 )
             elif g.kind == SLOT_REDUCE:
                 assert slot_transfer_evaluator is not None, (
                     "SlotReduce gate requires a slot_transfer_evaluator"
                 )
                 out = slot_transfer_evaluator.slot_reduce(params, ins, g.payload, g.gate_id)
+            elif g.kind == SUB_CIRCUIT_OUTPUT:
+                call_id, out_idx = g.payload
+                if call_id not in call_cache:
+                    call = self.sub_circuit_calls[call_id]
+                    call_cache[call_id] = eval_sub(call.sub_circuit_id, ins, call.param_bindings)
+                out = call_cache[call_id][out_idx]
+            elif g.kind == SUMMED_SUB_CIRCUIT_OUTPUT:
+                summed_id, out_idx = g.payload
+                if summed_id not in summed_cache:
+                    call = self.summed_sub_circuit_calls[summed_id]
+                    acc = None
+                    off = 0
+                    for set_idx, inp_set in enumerate(call.call_inputs):
+                        sub_ins = ins[off : off + len(inp_set)]
+                        off += len(inp_set)
+                        outs = eval_sub(
+                            call.sub_circuit_id, sub_ins, call.param_bindings[set_idx]
+                        )
+                        acc = outs if acc is None else [a + b for a, b in zip(acc, outs)]
+                    summed_cache[summed_id] = acc
+                out = summed_cache[summed_id][out_idx]
             else:
                 raise NotImplementedError(f"gate kind {g.kind}")
             for i in g.inputs:
