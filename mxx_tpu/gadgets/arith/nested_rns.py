@@ -1,0 +1,490 @@
+"""Nested-RNS in-circuit big-integer arithmetic.
+
+TPU-build of the reference's nested-RNS gadget
+(/root/reference/src/gadgets/arith/nested_rns/{mod.rs,context.rs,encoding.rs,
+poly.rs}; SURVEY.md §2.4). An integer x modulo a window of the ring's CRT
+moduli q_0..q_{D-1} is represented per q-level as residues in a synthetic
+p-RNS basis (pairwise-coprime small p_i), so every circuit wire carries a
+small value and all modular reductions become small public LUTs:
+
+- lut_mod_p[i]:   t -> t mod p_i                  (lazy reduction)
+- lut_x_to_y[i]:  t -> ((t mod p_i) * (P/p_i)^{-1}) mod p_i
+- lut_x_to_real[i]: t -> round((t mod p_i) * inv_i mod p_i * scale / p_i)
+- lut_real_to_v:  r -> round(r / scale)
+
+full_reduce of a value v at q-level k (HPS-style base extension):
+    y_i = x_i * (P/p_i)^{-1} mod p_i,  v_count = round(sum_i y_i / p_i)
+    x' = sum_j y_j * [P_hat_j mod q_k] - v_count * [P mod q_k]
+which satisfies x' == v (mod q_k) with 0 <= x' < (sum_i p_i + k) * q_k,
+computed wire-wise mod each p_i with small-scalar multiplies.
+
+Differences from the reference (documented simplifications): helper gates are
+inlined instead of shared sub-circuits with parameter bindings (a circuit-size
+optimization, not a semantic one), and per-level metadata tracks a single
+value/trace bound instead of per-wire vectors (conservative).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field, replace
+
+from ...circuit import PolyCircuit
+from ...lookup import PublicLut
+from ...ring.element import FinRingElem
+from ...utils.numth import modinv
+
+DEFAULT_MAX_UNREDUCED_MULS = 2
+
+
+def _gcd(a: int, b: int) -> int:
+    while b:
+        a, b = b, a % b
+    return a
+
+
+def sample_crt_primes(max_bit_width: int, q_max: int, max_unreduced_muls: int) -> list[int]:
+    """First pairwise-coprime moduli in [3, 2^max_bit_width) whose product
+    exceeds the unreduced-multiplication budget (reference encoding.rs:38-72;
+    deterministic so identical params give identical LUT layouts)."""
+    results: list[int] = []
+    total = 0
+    prod = 1
+    for cand in range(3, 1 << max_bit_width):
+        if all(_gcd(cand, c) == 1 for c in results):
+            results.append(cand)
+            total += cand
+            prod *= cand
+        budget = (total + len(results)) * q_max // 2
+        if budget**max_unreduced_muls < prod:
+            return results
+    raise ValueError(
+        f"not enough coprime p-moduli below 2^{max_bit_width} for q_max={q_max}, "
+        f"muls={max_unreduced_muls}"
+    )
+
+
+def _round_div(a: int, b: int) -> int:
+    return (a + b // 2) // b
+
+
+class NestedRnsPolyContext:
+    """Precomputed constants + registered LUT ids for one configuration."""
+
+    def __init__(self, circuit: PolyCircuit, params, p_moduli_bits: int,
+                 max_unreduced_muls: int = DEFAULT_MAX_UNREDUCED_MULS, scale: int = 1 << 16):
+        self.params = params
+        self.p_moduli_bits = p_moduli_bits
+        self.max_unreduced_muls = max_unreduced_muls
+        self.scale = scale
+        self.q_moduli = list(params.moduli)
+        self.q_moduli_depth = len(self.q_moduli)
+        q_max = max(self.q_moduli)
+        self.p_moduli = sample_crt_primes(p_moduli_bits, q_max, max_unreduced_muls)
+        # The reference budget uses centered residues (bound/2); our residues
+        # are canonical non-negative, so extend the basis until
+        # P > ((sum p_i + k + 1) * q_max)^muls holds for the looser bound.
+        candidate = 3
+        while True:
+            total = sum(self.p_moduli)
+            k = len(self.p_moduli)
+            if math.prod(self.p_moduli) > ((total + k + 1) * q_max) ** max_unreduced_muls:
+                break
+            while not all(_gcd(candidate, c) == 1 for c in self.p_moduli):
+                candidate += 1
+                if candidate >= (1 << p_moduli_bits):
+                    raise ValueError("cannot extend p-moduli basis within bit width")
+            self.p_moduli.append(candidate)
+        self.k = len(self.p_moduli)
+        self.p_full = math.prod(self.p_moduli)
+        self.p_over_pis = [self.p_full // p for p in self.p_moduli]
+        self.p_max = max(self.p_moduli)
+        # value bound after one full_reduce: (sum p_i + k) * q  (context.rs:55-79)
+        self.sum_p = sum(self.p_moduli)
+        self.full_reduce_max_plaintexts = [
+            (self.sum_p + self.k) * q for q in self.q_moduli
+        ]
+        # Uniform LUT domain for mod-p / trace LUTs, covering residue products
+        # (p_max^2) and full-reduce accumulations (2k * p_max)
+        # (reference context.rs:84-86 lut_mod_p_map_size, made uniform here).
+        domain = max(self.p_max * self.p_max, 2 * self.k * self.p_max) + self.p_max
+        self.lut_mod_p_domain = [domain] * self.k
+        # full-reduce scalar tables (context.rs:151-181):
+        # scalars_y[q][i][j] = (P/p_j mod q) mod p_i ; scalars_v[q][i] = (P mod q) mod p_i
+        self.scalars_y = [
+            [
+                [(self.p_over_pis[j] % q) % p_i for j in range(self.k)]
+                for p_i in self.p_moduli
+            ]
+            for q in self.q_moduli
+        ]
+        self.scalars_v = [
+            [(self.p_full % q) % p_i for p_i in self.p_moduli] for q in self.q_moduli
+        ]
+        # gadget values per q-level: [P_hat_j mod q ...] + [q - (P mod q)]
+        self.gadget_values = []
+        for q in self.q_moduli:
+            row = [ph % q for ph in self.p_over_pis]
+            pm = self.p_full % q
+            row.append(0 if pm == 0 else q - pm)
+            self.gadget_values.append(row)
+        self._register_luts(circuit)
+
+    # ------------------------------------------------------------------ LUTs
+
+    def _register_luts(self, circuit: PolyCircuit):
+        params = self.params
+        qmod = params.modulus
+
+        def make_lut(length, fn):
+            return circuit.register_public_lut(
+                PublicLut(
+                    params,
+                    length,
+                    lambda _p, t, fn=fn, length=length: (
+                        (t, FinRingElem(fn(t), qmod)) if t < length else None
+                    ),
+                    max_output_row=(0, FinRingElem(0, qmod)),
+                )
+            )
+
+        self.lut_mod_p_ids = [
+            make_lut(self.lut_mod_p_domain[i], lambda t, p=p: t % p)
+            for i, p in enumerate(self.p_moduli)
+        ]
+        self.lut_x_to_y_ids = []
+        self.lut_x_to_real_ids = []
+        for i, p in enumerate(self.p_moduli):
+            inv = modinv(self.p_full // p % p, p)
+            dom = self.lut_mod_p_domain[i]
+            self.lut_x_to_y_ids.append(make_lut(dom, lambda t, p=p, inv=inv: (t % p) * inv % p))
+            self.lut_x_to_real_ids.append(
+                make_lut(
+                    dom,
+                    lambda t, p=p, inv=inv, s=self.scale: _round_div((t % p) * inv % p * s, p),
+                )
+            )
+        self.lut_real_to_v_id = make_lut(
+            self.k * self.scale + 1, lambda r: _round_div(r, self.scale)
+        )
+
+    def decomposition_len(self) -> int:
+        return self.k + 1
+
+    def active_q(self, level_offset: int, enable_levels: int | None) -> list[int]:
+        levels = enable_levels if enable_levels is not None else self.q_moduli_depth - level_offset
+        return self.q_moduli[level_offset : level_offset + levels]
+
+    def reconstruction_coeffs(self, level_offset: int = 0, enable_levels: int | None = None):
+        """CRT coefficients for the active window (encoding.rs:166-183)."""
+        active = self.active_q(level_offset, enable_levels)
+        modulus = math.prod(active)
+        out = []
+        for q in active:
+            qh = modulus // q
+            out.append(qh * modinv(qh % q, q) % modulus)
+        return out, modulus
+
+
+# ------------------------------------------------------------------ encoding
+
+
+def encode_nested_rns_value(ctx: NestedRnsPolyContext, value: int,
+                            level_offset: int = 0, enable_levels: int | None = None):
+    """Plain-int residue table [q_level][p_idx] for a circuit input."""
+    active = ctx.active_q(level_offset, enable_levels)
+    return [[(value % q) % p for p in ctx.p_moduli] for q in active]
+
+
+def decode_nested_rns_outputs(ctx: NestedRnsPolyContext, residues,
+                              level_offset: int = 0, enable_levels: int | None = None) -> int:
+    """Reconstruct the represented integer from output wire values
+    [q_level][p_idx] (each possibly unreduced mod p_i)."""
+    active = ctx.active_q(level_offset, enable_levels)
+    coeffs, modulus = ctx.reconstruction_coeffs(level_offset, enable_levels)
+    acc = 0
+    for lvl, q in enumerate(active):
+        row = [int(r) % p for r, p in zip(residues[lvl], ctx.p_moduli)]
+        v = 0
+        for r, p, ph in zip(row, ctx.p_moduli, ctx.p_over_pis):
+            v += r * modinv(ph % p, p) % p * ph
+        v %= ctx.p_full
+        acc += (v % q) * coeffs[lvl]
+    return acc % modulus
+
+
+# ------------------------------------------------------------------ the wire
+
+
+@dataclass
+class NestedRnsPoly:
+    """Per-q-level p-residue wires plus conservative bounds metadata."""
+
+    ctx: NestedRnsPolyContext
+    wires: list[list[int]]  # [q_level][p_idx] gate ids
+    level_offset: int = 0
+    enable_levels: int | None = None
+    value_bounds: list[int] = field(default_factory=list)  # represented-integer bound per level
+    trace_bounds: list[int] = field(default_factory=list)  # wire plaintext bound per level
+
+    @property
+    def levels(self) -> int:
+        return len(self.wires)
+
+    @staticmethod
+    def input(ctx: NestedRnsPolyContext, circuit: PolyCircuit,
+              level_offset: int = 0, enable_levels: int | None = None) -> "NestedRnsPoly":
+        active = ctx.active_q(level_offset, enable_levels)
+        wires = [circuit.input(ctx.k) for _ in active]
+        return NestedRnsPoly(
+            ctx, wires, level_offset, enable_levels,
+            value_bounds=[q - 1 for q in active],
+            trace_bounds=[ctx.p_max - 1] * len(active),
+        )
+
+    def flatten(self) -> list[int]:
+        return [w for lvl in self.wires for w in lvl]
+
+    def _check_compat(self, other: "NestedRnsPoly"):
+        assert self.ctx is other.ctx and self.levels == other.levels
+        assert self.level_offset == other.level_offset
+
+    # ------------------------------------------------------------ arithmetic
+
+    def lazy_reduce(self, circuit: PolyCircuit) -> "NestedRnsPoly":
+        """Reduce every wire mod its p_i via LUT (context.rs lazy_reduce)."""
+        new_wires = []
+        for lvl in self.wires:
+            new_wires.append(
+                [
+                    circuit.public_lookup_gate(w, self.ctx.lut_mod_p_ids[i])
+                    for i, w in enumerate(lvl)
+                ]
+            )
+        return replace(
+            self, wires=new_wires, trace_bounds=[self.ctx.p_max - 1] * self.levels
+        )
+
+    def _maybe_lazy(self, circuit, projected_traces) -> "NestedRnsPoly":
+        limit = min(self.ctx.lut_mod_p_domain)
+        if any(t >= limit for t in projected_traces):
+            return self.lazy_reduce(circuit)
+        return self
+
+    def _active_moduli(self) -> list[int]:
+        return self.ctx.active_q(self.level_offset, self.enable_levels)
+
+    def add(self, other: "NestedRnsPoly", circuit: PolyCircuit) -> "NestedRnsPoly":
+        self._check_compat(other)
+        a, b = self, other
+        if any(va + vb >= self.ctx.p_full for va, vb in zip(a.value_bounds, b.value_bounds)):
+            a = a.full_reduce(circuit)
+            b = b.full_reduce(circuit)
+        limit = min(self.ctx.lut_mod_p_domain)
+        if any(ta + tb >= limit for ta, tb in zip(a.trace_bounds, b.trace_bounds)):
+            a = a.lazy_reduce(circuit)
+            b = b.lazy_reduce(circuit)
+        wires = [
+            [circuit.add_gate(x, y) for x, y in zip(la, lb)]
+            for la, lb in zip(a.wires, b.wires)
+        ]
+        return replace(
+            self,
+            wires=wires,
+            value_bounds=[va + vb for va, vb in zip(a.value_bounds, b.value_bounds)],
+            trace_bounds=[ta + tb for ta, tb in zip(a.trace_bounds, b.trace_bounds)],
+        )
+
+    def sub(self, other: "NestedRnsPoly", circuit: PolyCircuit) -> "NestedRnsPoly":
+        """Exact integer subtraction with per-level q_i value offsets: computes
+        a + c*q_i - b with c = ceil(b_bound / q_i), so the represented value
+        stays non-negative (no p-CRT wrap) and stays congruent mod q_i. Wire
+        traces get an extra +p_i offset to remain non-negative plaintexts
+        (reference poly.rs:349-382 + context.rs sub_with_trace_offsets)."""
+        self._check_compat(other)
+        a, b = self, other
+        qs = self._active_moduli()
+        if any(
+            va + (-(-vb // q) * q) + q >= self.ctx.p_full
+            for va, vb, q in zip(a.value_bounds, b.value_bounds, qs)
+        ):
+            a = a.full_reduce(circuit)
+            b = b.full_reduce(circuit)
+        b = b.lazy_reduce(circuit)
+        wires = []
+        new_val = []
+        for lvl_idx, (la, lb) in enumerate(zip(a.wires, b.wires)):
+            q_i = qs[lvl_idx]
+            c = -(-b.value_bounds[lvl_idx] // q_i)
+            lvl = []
+            for i, (x, y) in enumerate(zip(la, lb)):
+                p_i = self.ctx.p_moduli[i]
+                off = (c * q_i) % p_i + p_i
+                t = circuit.add_gate(x, circuit.const_digits([off]))
+                lvl.append(circuit.sub_gate(t, y))
+            wires.append(lvl)
+            new_val.append(a.value_bounds[lvl_idx] + c * q_i)
+        assert all(v < self.ctx.p_full for v in new_val), "sub exceeds p-CRT budget"
+        return replace(
+            self,
+            wires=wires,
+            value_bounds=new_val,
+            trace_bounds=[t + 2 * self.ctx.p_max for t in a.trace_bounds],
+        )
+
+    def mul(self, other: "NestedRnsPoly", circuit: PolyCircuit) -> "NestedRnsPoly":
+        self._check_compat(other)
+        a, b = self, other
+        if any(va * vb >= self.ctx.p_full for va, vb in zip(a.value_bounds, b.value_bounds)):
+            a = a.full_reduce(circuit)
+            b = b.full_reduce(circuit)
+        if max(a.trace_bounds) >= self.ctx.p_max:
+            a = a.lazy_reduce(circuit)
+        if max(b.trace_bounds) >= self.ctx.p_max:
+            b = b.lazy_reduce(circuit)
+        new_val = [va * vb for va, vb in zip(a.value_bounds, b.value_bounds)]
+        assert all(v < self.ctx.p_full for v in new_val), (
+            "nested-RNS multiplication exceeds the p-CRT budget even after full_reduce"
+        )
+        wires = []
+        for la, lb in zip(a.wires, b.wires):
+            lvl = []
+            for i, (x, y) in enumerate(zip(la, lb)):
+                prod = circuit.mul_gate(x, y)
+                lvl.append(circuit.public_lookup_gate(prod, self.ctx.lut_mod_p_ids[i]))
+            wires.append(lvl)
+        return replace(
+            self,
+            wires=wires,
+            value_bounds=new_val,
+            trace_bounds=[self.ctx.p_max - 1] * self.levels,
+        )
+
+    def full_reduce(self, circuit: PolyCircuit) -> "NestedRnsPoly":
+        """HPS base extension per q-level (context.rs full_reduce_subcircuit)."""
+        ctx = self.ctx
+        active = ctx.active_q(self.level_offset, self.enable_levels)
+        reduced = self.lazy_reduce(circuit)
+        new_wires = []
+        for lvl_idx, lvl in enumerate(reduced.wires):
+            q_idx = self.level_offset + lvl_idx
+            ys = [
+                circuit.public_lookup_gate(w, ctx.lut_x_to_y_ids[i])
+                for i, w in enumerate(lvl)
+            ]
+            reals = [
+                circuit.public_lookup_gate(w, ctx.lut_x_to_real_ids[i])
+                for i, w in enumerate(lvl)
+            ]
+            real_sum = reals[0]
+            for r in reals[1:]:
+                real_sum = circuit.add_gate(real_sum, r)
+            v = circuit.public_lookup_gate(real_sum, ctx.lut_real_to_v_id)
+            lvl_out = []
+            for i, p_i in enumerate(ctx.p_moduli):
+                acc = None
+                for j, y_j in enumerate(ys):
+                    term = circuit.small_scalar_mul(y_j, [ctx.scalars_y[q_idx][i][j]])
+                    term = circuit.public_lookup_gate(term, ctx.lut_mod_p_ids[i])
+                    acc = term if acc is None else circuit.add_gate(acc, term)
+                v_term = circuit.small_scalar_mul(v, [ctx.scalars_v[q_idx][i]])
+                offset = circuit.const_digits([ctx.k * p_i])
+                acc = circuit.add_gate(acc, offset)
+                acc = circuit.sub_gate(acc, v_term)
+                lvl_out.append(circuit.public_lookup_gate(acc, ctx.lut_mod_p_ids[i]))
+            new_wires.append(lvl_out)
+        return replace(
+            self,
+            wires=new_wires,
+            value_bounds=[
+                ctx.full_reduce_max_plaintexts[self.level_offset + i]
+                for i in range(len(active))
+            ],
+            trace_bounds=[ctx.p_max - 1] * len(active),
+        )
+
+    # ------------------------------------------------------- reconstruction
+
+    def reconstruct(self, circuit: PolyCircuit) -> int:
+        """Collapse all levels to a single wire holding the represented value
+        mod the active modulus window (large-scalar combination of the y/w
+        decomposition terms; encoding.rs nested_rns_sparse_level_slot_value)."""
+        ctx = self.ctx
+        coeffs, modulus = ctx.reconstruction_coeffs(self.level_offset, self.enable_levels)
+        qmod = ctx.params.modulus
+        reduced = self.lazy_reduce(circuit)
+        acc = None
+        for lvl_idx, lvl in enumerate(reduced.wires):
+            ys = [
+                circuit.public_lookup_gate(w, ctx.lut_x_to_y_ids[i])
+                for i, w in enumerate(lvl)
+            ]
+            reals = [
+                circuit.public_lookup_gate(w, ctx.lut_x_to_real_ids[i])
+                for i, w in enumerate(lvl)
+            ]
+            real_sum = reals[0]
+            for r in reals[1:]:
+                real_sum = circuit.add_gate(real_sum, r)
+            v = circuit.public_lookup_gate(real_sum, ctx.lut_real_to_v_id)
+            c = coeffs[lvl_idx]
+            for j, y_j in enumerate(ys):
+                scalar = ctx.p_over_pis[j] % modulus * c % qmod
+                term = circuit.large_scalar_mul(y_j, [scalar])
+                acc = term if acc is None else circuit.add_gate(acc, term)
+            neg_p = (modulus - ctx.p_full % modulus) * c % qmod
+            acc = circuit.add_gate(acc, circuit.large_scalar_mul(v, [neg_p]))
+        return acc
+
+    def gadget_scalars(self) -> list[int]:
+        """Gadget weights aligned with `gadget_decompose` outputs: for level l
+        and term t, g = gadget_values[l][t] * reconst_l mod activeQ, so that
+        sum_t term_t * g_t == value (mod activeQ)
+        (reference encoding.rs nested_rns_gadget_vector)."""
+        ctx = self.ctx
+        coeffs, modulus = ctx.reconstruction_coeffs(self.level_offset, self.enable_levels)
+        out = []
+        for lvl in range(self.levels):
+            q_idx = self.level_offset + lvl
+            for t in range(ctx.k + 1):
+                out.append(ctx.gadget_values[q_idx][t] % modulus * coeffs[lvl] % modulus)
+        return out
+
+    def gadget_decompose(self, circuit: PolyCircuit) -> list["NestedRnsPoly"]:
+        """Per-level decomposition terms (y_1..y_k, w), each re-encoded as a
+        nested-RNS value (context.rs gadget_decompose_subcircuit). Paired with
+        `gadget_scalars()` they satisfy sum_t term_t * g_t == value."""
+        ctx = self.ctx
+        reduced = self.lazy_reduce(circuit)
+        outs = []
+        for lvl_idx, lvl in enumerate(reduced.wires):
+            ys = [
+                circuit.public_lookup_gate(w, ctx.lut_x_to_y_ids[i])
+                for i, w in enumerate(lvl)
+            ]
+            reals = [
+                circuit.public_lookup_gate(w, ctx.lut_x_to_real_ids[i])
+                for i, w in enumerate(lvl)
+            ]
+            real_sum = reals[0]
+            for r in reals[1:]:
+                real_sum = circuit.add_gate(real_sum, r)
+            v = circuit.public_lookup_gate(real_sum, ctx.lut_real_to_v_id)
+            for j, term in enumerate(ys + [v]):
+                bound = ctx.p_moduli[j] - 1 if j < ctx.k else ctx.k
+                term_wires = [
+                    [
+                        circuit.public_lookup_gate(term, ctx.lut_mod_p_ids[i])
+                        for i in range(ctx.k)
+                    ]
+                    for _ in range(self.levels)
+                ]
+                outs.append(
+                    replace(
+                        self,
+                        wires=term_wires,
+                        value_bounds=[bound] * self.levels,
+                        trace_bounds=[ctx.p_max - 1] * self.levels,
+                    )
+                )
+        return outs

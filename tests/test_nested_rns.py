@@ -1,0 +1,178 @@
+"""Nested-RNS in-circuit arithmetic vs plain-integer ground truth.
+
+Mirrors /root/reference/src/gadgets/arith/nested_rns/tests.rs: build circuits
+over nested-RNS wires, evaluate with the plaintext LUT evaluator, decode, and
+compare against Python-int arithmetic mod the active modulus window.
+"""
+
+import math
+import random
+
+import mxx_tpu  # noqa: F401
+
+from mxx_tpu.ring.params import RingParams
+from mxx_tpu.ring.poly import Poly
+from mxx_tpu.circuit import PolyCircuit
+from mxx_tpu.lookup import PolyPltEvaluator
+from mxx_tpu.gadgets.arith import (
+    NestedRnsPoly,
+    NestedRnsPolyContext,
+    decode_nested_rns_outputs,
+    encode_nested_rns_value,
+    sample_crt_primes,
+)
+
+P_BITS = 8
+
+
+def setup(params):
+    circuit = PolyCircuit()
+    ctx = NestedRnsPolyContext(circuit, params, P_BITS)
+    return circuit, ctx
+
+
+def run(circuit, ctx, inputs_values, build):
+    """inputs_values: list of ints; build(circuit, wires)->NestedRnsPoly(s)."""
+    params = ctx.params
+    nr_inputs = [NestedRnsPoly.input(ctx, circuit) for _ in inputs_values]
+    outs = build(circuit, nr_inputs)
+    if not isinstance(outs, list):
+        outs = [outs]
+    flat_out = []
+    for o in outs:
+        flat_out.extend(o.flatten())
+    circuit.output(flat_out)
+    plain_inputs = []
+    for v in inputs_values:
+        for row in encode_nested_rns_value(ctx, v):
+            for r in row:
+                plain_inputs.append(Poly.const(params, r))
+    results = circuit.eval(
+        params, Poly.one(params), plain_inputs, plt_evaluator=PolyPltEvaluator()
+    )
+    decoded = []
+    pos = 0
+    for o in outs:
+        vals = []
+        for lvl in range(o.levels):
+            row = []
+            for _ in range(ctx.k):
+                row.append(results[pos].const_coeff())
+                pos += 1
+            vals.append(row)
+        decoded.append(decode_nested_rns_outputs(ctx, vals))
+    return decoded
+
+
+def test_sample_crt_primes_deterministic():
+    a = sample_crt_primes(8, 131071, 2)
+    b = sample_crt_primes(8, 131071, 2)
+    assert a == b and len(a) >= 2
+    # pairwise coprime
+    for i in range(len(a)):
+        for j in range(i + 1, len(a)):
+            assert math.gcd(a[i], a[j]) == 1
+
+
+def test_nested_rns_add_mul_chain():
+    params = RingParams.default()  # n=4, depth=2, crt 17
+    circuit, ctx = setup(params)
+    q = math.prod(ctx.q_moduli)
+    rng = random.Random(7)
+    a, b = rng.randrange(q), rng.randrange(q)
+
+    def build(c, w):
+        s = w[0].add(w[1], c)
+        p = s.mul(w[0], c)
+        return p.full_reduce(c)
+
+    (got,) = run(circuit, ctx, [a, b], build)
+    want = (a + b) * a % q
+    assert got % q == want
+
+
+def test_nested_rns_sub():
+    params = RingParams.default()
+    circuit, ctx = setup(params)
+    q = math.prod(ctx.q_moduli)
+    a, b = 123, 999999
+
+    def build(c, w):
+        return w[0].sub(w[1], c).full_reduce(c)
+
+    (got,) = run(circuit, ctx, [a, b], build)
+    assert got % q == (a - b) % q
+
+
+def test_nested_rns_deep_chain_with_auto_reduce():
+    params = RingParams.default()
+    circuit, ctx = setup(params)
+    q = math.prod(ctx.q_moduli)
+    rng = random.Random(8)
+    vals = [rng.randrange(q) for _ in range(4)]
+
+    def build(c, w):
+        acc = w[0]
+        for x in w[1:]:
+            acc = acc.mul(x, c)
+        return acc
+
+    (got,) = run(circuit, ctx, vals, build)
+    want = math.prod(vals) % q
+    assert got % q == want
+
+
+def test_nested_rns_reconstruct_wire():
+    params = RingParams.default()
+    circuit, ctx = setup(params)
+    q = math.prod(ctx.q_moduli)
+    a, b = 31337, 271828
+
+    w0 = NestedRnsPoly.input(ctx, circuit)
+    w1 = NestedRnsPoly.input(ctx, circuit)
+    prod = w0.mul(w1, circuit)
+    out_wire = prod.reconstruct(circuit)
+    circuit.output([out_wire])
+    plain_inputs = []
+    for v in (a, b):
+        for row in encode_nested_rns_value(ctx, v):
+            plain_inputs.extend(Poly.const(params, r) for r in row)
+    result = circuit.eval(
+        params, Poly.one(params), plain_inputs, plt_evaluator=PolyPltEvaluator()
+    )[0]
+    assert result.const_coeff() % q == a * b % q
+
+
+def test_nested_rns_gadget_decompose_identity():
+    params = RingParams.default()
+    circuit, ctx = setup(params)
+    q = math.prod(ctx.q_moduli)
+    v = 918273
+
+    w = NestedRnsPoly.input(ctx, circuit)
+    terms = w.gadget_decompose(circuit)
+    scalars = w.gadget_scalars()
+    assert len(terms) == len(scalars) == w.levels * (ctx.k + 1)
+    flat = []
+    for t in terms:
+        flat.extend(t.flatten())
+    circuit.output(flat)
+    plain_inputs = []
+    for row in encode_nested_rns_value(ctx, v):
+        plain_inputs.extend(Poly.const(params, r) for r in row)
+    results = circuit.eval(
+        params, Poly.one(params), plain_inputs, plt_evaluator=PolyPltEvaluator()
+    )
+    pos = 0
+    acc = 0
+    for t, g in zip(terms, scalars):
+        vals = []
+        for lvl in range(t.levels):
+            row = []
+            for _ in range(ctx.k):
+                row.append(results[pos].const_coeff())
+                pos += 1
+            vals.append(row)
+        term_val = decode_nested_rns_outputs(ctx, vals)
+        acc = (acc + term_val * g) % q
+    assert acc == v % q
