@@ -72,11 +72,10 @@ class NestedRnsPolyContext:
     """Precomputed constants + registered LUT ids for one configuration."""
 
     def __init__(self, circuit: PolyCircuit, params, p_moduli_bits: int,
-                 max_unreduced_muls: int = DEFAULT_MAX_UNREDUCED_MULS, scale: int = 1 << 16):
+                 max_unreduced_muls: int = DEFAULT_MAX_UNREDUCED_MULS, scale: int | None = None):
         self.params = params
         self.p_moduli_bits = p_moduli_bits
         self.max_unreduced_muls = max_unreduced_muls
-        self.scale = scale
         self.q_moduli = list(params.moduli)
         self.q_moduli_depth = len(self.q_moduli)
         q_max = max(self.q_moduli)
@@ -104,10 +103,23 @@ class NestedRnsPolyContext:
         self.full_reduce_max_plaintexts = [
             (self.sum_p + self.k) * q for q in self.q_moduli
         ]
+        # Wire plaintexts live modulo the RING modulus, so every intermediate
+        # value (LUT domains, rounding scale sums) must stay below it.
+        ring_q = params.modulus
+        if scale is None:
+            scale = min(1 << 16, (ring_q - 1) // (self.k + 2))
+        self.scale = scale
+        # rounding precision: k/(2*scale) must leave margin below 1/2
+        assert self.k < self.scale, "rounding scale too small for this p-basis"
         # Uniform LUT domain for mod-p / trace LUTs, covering residue products
         # (p_max^2) and full-reduce accumulations (2k * p_max)
         # (reference context.rs:84-86 lut_mod_p_map_size, made uniform here).
         domain = max(self.p_max * self.p_max, 2 * self.k * self.p_max) + self.p_max
+        assert domain < ring_q, (
+            f"nested-RNS LUT domain {domain} exceeds ring modulus {ring_q}; "
+            "increase crt_bits/depth or lower p_moduli_bits"
+        )
+        assert self.k * self.scale + 1 < ring_q
         self.lut_mod_p_domain = [domain] * self.k
         # full-reduce scalar tables (context.rs:151-181):
         # scalars_y[q][i][j] = (P/p_j mod q) mod p_i ; scalars_v[q][i] = (P mod q) mod p_i

@@ -1,0 +1,204 @@
+"""RingGSW FHE evaluated inside circuits over nested-RNS entries.
+
+TPU-build of the reference RingGSW gadget
+(/root/reference/src/gadgets/fhe/{ring_gsw.rs,ring_gsw_nested_rns.rs};
+SURVEY.md §2.4). A ciphertext is C = A + m*G in Z_Q^{2 x 2L} with
+A = [a ; s*a + e], secret key (-s, 1), gadget G = I_2 (x) g where g is the
+nested-RNS gadget row (L = active_levels * (k+1) weights from
+`NestedRnsPoly.gadget_scalars`). The homomorphic external product is
+C_out = C_lhs @ G^{-1}(C_rhs), realized in-circuit with nested-RNS
+`gadget_decompose` + entry multiplications; Add/Sub are entrywise; boolean
+AND = mul, XOR = a + b - 2ab over bit plaintexts (ring_gsw.rs:1297-1330).
+
+Round-1 scope: scalar GSW ring (slot-packing degree 1). The packed small-ring
+variant adds negacyclic conv over slots (conv_mul) on the same structure.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from ...circuit import PolyCircuit
+from ...ring.poly import Poly
+from ..arith.nested_rns import (
+    NestedRnsPoly,
+    NestedRnsPolyContext,
+    decode_nested_rns_outputs,
+    encode_nested_rns_value,
+)
+
+
+class RingGswContext:
+    def __init__(self, circuit: PolyCircuit, params, p_moduli_bits: int,
+                 max_unreduced_muls: int = 2):
+        self.params = params
+        self.nested = NestedRnsPolyContext(circuit, params, p_moduli_bits, max_unreduced_muls)
+        self.q_big = math.prod(self.nested.q_moduli)
+
+    @property
+    def gadget_len(self) -> int:
+        return self.nested.q_moduli_depth * (self.nested.k + 1)
+
+    @property
+    def width(self) -> int:
+        return 2 * self.gadget_len
+
+    def gadget_row(self) -> list[int]:
+        """g: the per-term gadget weights mod Q (length gadget_len)."""
+        probe = NestedRnsPoly(
+            self.nested,
+            [[0] * self.nested.k for _ in range(self.nested.q_moduli_depth)],
+            0,
+            None,
+            [0] * self.nested.q_moduli_depth,
+            [0] * self.nested.q_moduli_depth,
+        )
+        return probe.gadget_scalars()
+
+
+@dataclass
+class RingGswCiphertext:
+    ctx: RingGswContext
+    rows: tuple[list[NestedRnsPoly], list[NestedRnsPoly]]
+    max_plaintext: int = 1
+
+    @staticmethod
+    def input(ctx: RingGswContext, circuit: PolyCircuit,
+              max_plaintext: int = 1) -> "RingGswCiphertext":
+        rows = tuple(
+            [NestedRnsPoly.input(ctx.nested, circuit) for _ in range(ctx.width)]
+            for _ in range(2)
+        )
+        return RingGswCiphertext(ctx, rows, max_plaintext)
+
+    @property
+    def width(self) -> int:
+        return len(self.rows[0])
+
+    def flatten(self) -> list[int]:
+        out = []
+        for row in self.rows:
+            for e in row:
+                out.extend(e.flatten())
+        return out
+
+    def add(self, other: "RingGswCiphertext", circuit: PolyCircuit) -> "RingGswCiphertext":
+        rows = tuple(
+            [a.add(b, circuit) for a, b in zip(ra, rb)]
+            for ra, rb in zip(self.rows, other.rows)
+        )
+        return RingGswCiphertext(self.ctx, rows, self.max_plaintext + other.max_plaintext)
+
+    def sub(self, other: "RingGswCiphertext", circuit: PolyCircuit) -> "RingGswCiphertext":
+        rows = tuple(
+            [a.sub(b, circuit) for a, b in zip(ra, rb)]
+            for ra, rb in zip(self.rows, other.rows)
+        )
+        return RingGswCiphertext(self.ctx, rows, self.max_plaintext + other.max_plaintext)
+
+    def mul(self, other: "RingGswCiphertext", circuit: PolyCircuit) -> "RingGswCiphertext":
+        """External product C_lhs @ G^{-1}(C_rhs) (ring_gsw.rs:1210-1297)."""
+        L = self.ctx.gadget_len
+        out_rows: tuple[list, list] = ([], [])
+        for j in range(other.width):
+            d0 = other.rows[0][j].gadget_decompose(circuit)
+            d1 = other.rows[1][j].gadget_decompose(circuit)
+            assert len(d0) == L and len(d1) == L
+            for i in range(2):
+                acc = None
+                for t in range(L):
+                    term = self.rows[i][t].mul(d0[t], circuit)
+                    acc = term if acc is None else acc.add(term, circuit)
+                for t in range(L):
+                    term = self.rows[i][L + t].mul(d1[t], circuit)
+                    acc = acc.add(term, circuit)
+                out_rows[i].append(acc.full_reduce(circuit))
+        return RingGswCiphertext(
+            self.ctx, out_rows, self.max_plaintext * other.max_plaintext
+        )
+
+    def and_(self, other, circuit):
+        assert self.max_plaintext == 1 and other.max_plaintext == 1
+        return self.mul(other, circuit)
+
+    def xor(self, other, circuit):
+        assert self.max_plaintext == 1 and other.max_plaintext == 1
+        s = self.add(other, circuit)
+        p = self.mul(other, circuit)
+        out = s.sub(p, circuit).sub(p, circuit)
+        return RingGswCiphertext(out.ctx, out.rows, 1)
+
+    def reconstruct(self, circuit: PolyCircuit) -> list[int]:
+        """Collapse each entry to a single value wire (2*width wires)."""
+        out = []
+        for row in self.rows:
+            for e in row:
+                out.append(e.reconstruct(circuit))
+        return out
+
+
+# ----------------------------------------------------------- native (host)
+
+
+def sample_secret_key(rng) -> int:
+    return rng.choice([-1, 0, 1])
+
+
+def native_gadget_row(ctx: RingGswContext) -> list[int]:
+    return ctx.gadget_row()
+
+
+def native_encrypt(ctx: RingGswContext, s: int, m: int, rng, error_sigma: float = 0.0):
+    """Host-side GSW encryption: 2 x 2L integer matrix mod Q
+    (reference ring_gsw_nested_rns.rs:106-204)."""
+    import random
+
+    q = ctx.q_big
+    g = native_gadget_row(ctx)
+    L = ctx.gadget_len
+    a = [rng.randrange(q) for _ in range(2 * L)]
+    if error_sigma > 0:
+        e = [round(random.gauss(0, error_sigma)) for _ in range(2 * L)]
+    else:
+        e = [0] * (2 * L)
+    row0 = list(a)
+    row1 = [(s * a[j] + e[j]) % q for j in range(2 * L)]
+    for j in range(L):
+        row0[j] = (row0[j] + m * g[j]) % q
+    for j in range(L):
+        row1[L + j] = (row1[L + j] + m * g[j]) % q
+    return [row0, row1]
+
+
+def native_decrypt_value(ctx: RingGswContext, native_ct, s: int, col: int) -> int:
+    """(-s, 1) . C[:, col] mod Q = m * ((-s,1) G)[col] + e."""
+    q = ctx.q_big
+    return (-s * native_ct[0][col] + native_ct[1][col]) % q
+
+
+def encode_ciphertext_inputs(ctx: RingGswContext, native_ct) -> list[Poly]:
+    """Circuit input polys for `RingGswCiphertext.input`, entry-major."""
+    out = []
+    for row in native_ct:
+        for v in row:
+            for lvl in encode_nested_rns_value(ctx.nested, v % ctx.q_big):
+                out.extend(Poly.const(ctx.params, r) for r in lvl)
+    return out
+
+
+def decode_ciphertext_outputs(ctx: RingGswContext, ct: RingGswCiphertext, results, pos=0):
+    """Decode evaluated output wires back to a native 2 x width int matrix."""
+    native = []
+    for row in ct.rows:
+        out_row = []
+        for e in row:
+            vals = []
+            for lvl in range(e.levels):
+                vals.append(
+                    [results[pos + i].const_coeff() for i in range(ctx.nested.k)]
+                )
+                pos += ctx.nested.k
+            out_row.append(decode_nested_rns_outputs(ctx.nested, vals) % ctx.q_big)
+        native.append(out_row)
+    return native, pos
