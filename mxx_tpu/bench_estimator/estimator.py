@@ -1,0 +1,115 @@
+"""Predictive performance model: measured per-gate-kind costs aggregated over
+the grouped execution plan.
+
+Reference: /root/reference/src/bench_estimator/mod.rs (SURVEY.md A.8):
+`benchmark_gate_operation` wall-clocks a representative wire op; the summary
+walks the GroupedExecutionPlan with latency = critical path through levels
+(each level costs its most expensive group op, groups within a level run in
+parallel up to `parallelism`), total_time = sum of all op costs, and
+max_parallelism = widest level.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from ..circuit.analysis import GroupedExecutionPlan
+from ..circuit.gate import ADD, LARGE_SCALAR_MUL, MUL, PUB_LUT, SMALL_SCALAR_MUL, SUB
+
+
+def benchmark_gate_operation(iterations: int, op) -> float:
+    """Median-of-iterations wall time (seconds) of one wire operation."""
+    times = []
+    op()  # warmup / compile
+    for _ in range(iterations):
+        t0 = time.perf_counter()
+        op()
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+@dataclass
+class GateCostModel:
+    """Seconds per gate kind (unknown kinds fall back to `default_cost`)."""
+
+    costs: dict[str, float] = field(default_factory=dict)
+    default_cost: float = 0.0
+
+    def cost(self, kind: str) -> float:
+        return self.costs.get(kind, self.default_cost)
+
+
+@dataclass
+class CircuitBenchSummary:
+    latency_secs: float  # critical path through levels
+    total_time_secs: float  # sum of all op costs
+    max_parallelism: int
+
+
+def estimate_circuit(circuit, cost_model: GateCostModel, parallelism: int = 1
+                     ) -> CircuitBenchSummary:
+    plan = GroupedExecutionPlan.from_circuit(circuit)
+    latency = 0.0
+    total = 0.0
+    for lvl in plan.levels:
+        level_latency = 0.0
+        for kind, gids in lvl.groups.items():
+            c = cost_model.cost(kind)
+            total += c * len(gids)
+            # gates of one kind in a level run `parallelism`-wide
+            waves = -(-len(gids) // max(parallelism, 1))
+            level_latency = max(level_latency, c * waves)
+        latency += level_latency
+    return CircuitBenchSummary(latency, total, plan.max_parallelism)
+
+
+def measure_poly_costs(params, iterations: int = 5) -> GateCostModel:
+    """Measure representative plain-poly wire op costs on the current device."""
+    from ..ring.poly import Poly
+    from ..sampler import FinRingDist, UniformSampler
+
+    us = UniformSampler(seed=0)
+    a = us.sample_poly(params, FinRingDist()).to_eval()
+    b = us.sample_poly(params, FinRingDist()).to_eval()
+    costs = {
+        ADD: benchmark_gate_operation(iterations, lambda: (a + b).data.block_until_ready()),
+        SUB: benchmark_gate_operation(iterations, lambda: (a - b).data.block_until_ready()),
+        MUL: benchmark_gate_operation(iterations, lambda: (a * b).data.block_until_ready()),
+    }
+    costs[SMALL_SCALAR_MUL] = costs[MUL]
+    costs[LARGE_SCALAR_MUL] = costs[MUL]
+    return GateCostModel(costs, default_cost=costs[MUL])
+
+
+def measure_bgg_encoding_costs(params, d: int = 1, iterations: int = 3,
+                               lut_cost: float | None = None) -> GateCostModel:
+    """Measure representative BGG-encoding wire op costs (the protocol-eval
+    cost model; reference bench_estimator/bgg_encoding.rs)."""
+    from ..bgg import BGGEncodingSampler, BGGPublicKeySampler
+    from ..ring.poly import Poly
+    from ..sampler import TernaryDist, UniformSampler
+
+    us = UniformSampler(seed=1)
+    secrets = [us.sample_poly(params, TernaryDist()) for _ in range(d)]
+    pk = BGGPublicKeySampler(bytes(32), d).sample(params, b"bench", [True, True])
+    es = BGGEncodingSampler(params, secrets, None, seed=2)
+    encs = es.sample(
+        params, pk, [Poly.const(params, 1), Poly.const(params, 0)]
+    )
+    e1, e2 = encs[1], encs[2]
+    costs = {
+        ADD: benchmark_gate_operation(
+            iterations, lambda: (e1 + e2).vector.data.block_until_ready()
+        ),
+        MUL: benchmark_gate_operation(
+            iterations, lambda: (e1 * e2).vector.data.block_until_ready()
+        ),
+    }
+    costs[SUB] = costs[ADD]
+    costs[SMALL_SCALAR_MUL] = costs[ADD]
+    costs[LARGE_SCALAR_MUL] = costs[MUL]
+    if lut_cost is not None:
+        costs[PUB_LUT] = lut_cost
+    return GateCostModel(costs, default_cost=costs[MUL])

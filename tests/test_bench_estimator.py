@@ -1,0 +1,75 @@
+"""Execution plan + bench estimator + lattice estimator bridge + noise refresh helpers."""
+
+from decimal import Decimal
+
+import mxx_tpu  # noqa: F401
+
+from mxx_tpu.ring.params import RingParams
+from mxx_tpu.circuit import PolyCircuit
+from mxx_tpu.circuit.analysis import GroupedExecutionPlan
+from mxx_tpu.bench_estimator import GateCostModel, estimate_circuit, measure_poly_costs
+from mxx_tpu.simulator.lattice_estimator import (
+    LweDistSpec,
+    heuristic_security_bits,
+    run_lattice_estimator_cli,
+)
+from mxx_tpu.noise_refresh import round_keep_low_bits, simulate_noise_refresh_error_growth
+from mxx_tpu.simulator import SimulatorContext
+
+
+def build_circuit():
+    c = PolyCircuit()
+    w = c.input(3)
+    a = c.add_gate(w[0], w[1])
+    b = c.mul_gate(a, w[2])
+    d = c.mul_gate(a, w[0])
+    c.output([b, d])
+    return c, (a, b, d)
+
+
+def test_grouped_execution_plan():
+    c, (a, b, d) = build_circuit()
+    plan = GroupedExecutionPlan.from_circuit(c)
+    assert plan.levels[0].groups == {"Add": [a]}
+    assert sorted(plan.levels[1].groups["Mul"]) == [b, d]
+    assert plan.max_parallelism == 2
+    assert plan.total_gates() == 3
+
+
+def test_estimate_circuit_latency_model():
+    c, _ = build_circuit()
+    model = GateCostModel({"Add": 1.0, "Mul": 10.0})
+    s1 = estimate_circuit(c, model, parallelism=1)
+    assert s1.total_time_secs == 21.0
+    assert s1.latency_secs == 1.0 + 20.0  # two Mul waves sequentially
+    s2 = estimate_circuit(c, model, parallelism=2)
+    assert s2.latency_secs == 1.0 + 10.0  # Muls in one wave
+    assert s2.max_parallelism == 2
+
+
+def test_measured_costs_drive_estimate():
+    params = RingParams.default()
+    model = measure_poly_costs(params, iterations=3)
+    c, _ = build_circuit()
+    s = estimate_circuit(c, model)
+    assert s.total_time_secs > 0 and s.latency_secs > 0
+
+
+def test_lattice_estimator_bridge_graceful():
+    # CLI is absent in this image: bridge must return None, not raise
+    out = run_lattice_estimator_cli(
+        1024, 60, LweDistSpec("ternary"), LweDistSpec("gaussian", sigma=4.0), timeout_secs=5
+    )
+    assert out is None
+    assert heuristic_security_bits(65536, 1484) > 100
+
+
+def test_noise_refresh_helpers():
+    # rounding keeps v_bits of the scaled value
+    q = 1 << 40
+    v_bits = 8
+    val = (q // 256) * 37 + 12345  # ~ 37/256 of q plus noise
+    assert round_keep_low_bits(val, q, v_bits) == 37
+    ctx = SimulatorContext(Decimal(64).sqrt(), Decimal(2), 1, 40, 40)
+    bound = simulate_noise_refresh_error_growth(ctx, Decimal(2) ** 30, 8, 2, 4, 40)
+    assert bound < Decimal(2) ** 35
