@@ -398,6 +398,40 @@ class PolyMatrix:
         arr = np.frombuffer(raw[25:], dtype=np.uint32).reshape(depth, nrow, ncol, n)
         return PolyMatrix(jnp.asarray(arr), COEFF if fmt_i == 0 else EVAL, params)
 
+    def to_packed_bytes(self) -> bytes:
+        """Bit-packed serialization: each residue stored in crt_bits bits via
+        the native codec (4*8/crt_bits compression vs raw; reference
+        MatrixSerde.cu max-coeff-bits packing)."""
+        from ..native import pack_u32
+
+        p = self.params
+        arr = np.asarray(self.data)
+        header = b"MXPK" + struct.pack(
+            "<BBIIIIHB",
+            1,
+            0 if self.fmt == COEFF else 1,
+            self.nrow,
+            self.ncol,
+            p.n,
+            p.crt_depth,
+            p.crt_bits,
+            p.base_bits,
+        )
+        return header + pack_u32(arr, p.crt_bits)
+
+    @staticmethod
+    def from_packed_bytes(params: RingParams, raw: bytes) -> "PolyMatrix":
+        from ..native import unpack_u32
+
+        assert raw[:4] == b"MXPK", "bad packed matrix magic"
+        ver, fmt_i, nrow, ncol, n, depth, crt_bits, base_bits = struct.unpack(
+            "<BBIIIIHB", raw[4:25]
+        )
+        assert ver == 1 and n == params.n and depth == params.crt_depth
+        count = depth * nrow * ncol * n
+        arr = unpack_u32(raw[25:], count, crt_bits).reshape(depth, nrow, ncol, n)
+        return PolyMatrix(jnp.asarray(arr), COEFF if fmt_i == 0 else EVAL, params)
+
     def write_to_file(self, dir_path, mat_id: str):
         import os
 

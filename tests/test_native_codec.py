@@ -1,0 +1,50 @@
+"""Native bit-packing codec: C++ build, roundtrip, compression ratio."""
+
+import numpy as np
+
+import mxx_tpu  # noqa: F401
+
+from mxx_tpu.native import native_available, pack_u32, packed_size, unpack_u32
+from mxx_tpu.ring.params import RingParams
+from mxx_tpu.matrix import PolyMatrix
+from mxx_tpu.sampler import FinRingDist, UniformSampler
+
+
+def test_native_codec_builds_and_roundtrips():
+    assert native_available(), "g++ is baked in; the native codec must build"
+    rng = np.random.default_rng(0)
+    for bits in (1, 7, 17, 28, 32):
+        hi = (1 << bits) if bits < 32 else (1 << 32)
+        vals = rng.integers(0, hi, size=1000, dtype=np.uint64).astype(np.uint32)
+        raw = pack_u32(vals, bits)
+        assert len(raw) == packed_size(1000, bits)
+        back = unpack_u32(raw, 1000, bits)
+        np.testing.assert_array_equal(back, vals)
+
+
+def test_numpy_fallback_matches_native():
+    from mxx_tpu.native import codec
+
+    rng = np.random.default_rng(1)
+    vals = rng.integers(0, 1 << 17, size=257, dtype=np.uint64).astype(np.uint32)
+    native_raw = pack_u32(vals, 17)
+    lib = codec._lib
+    codec._lib, codec._tried = None, True  # force fallback
+    try:
+        fallback_raw = pack_u32(vals, 17)
+        assert fallback_raw == native_raw
+        np.testing.assert_array_equal(unpack_u32(native_raw, 257, 17), vals)
+    finally:
+        codec._lib, codec._tried = lib, True
+
+
+def test_matrix_packed_roundtrip_and_ratio():
+    params = RingParams.default()  # crt_bits = 17
+    us = UniformSampler(seed=5)
+    m = us.sample_uniform(params, 3, 4, FinRingDist())
+    raw = m.to_packed_bytes()
+    back = PolyMatrix.from_packed_bytes(params, raw)
+    assert back == m
+    plain = m.to_compact_bytes()
+    ratio = len(plain) / len(raw)
+    assert ratio > 1.7  # ~32/17 bits per residue minus headers
