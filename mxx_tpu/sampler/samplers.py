@@ -105,7 +105,7 @@ class UniformSampler:
 
     def __init__(self, seed: int | None = None):
         if seed is None:
-            seed = int.from_bytes(os.urandom(8), "little")
+            seed = int.from_bytes(os.urandom(8), "little", signed=True)
         self._key = jax.random.key(seed, impl="threefry2x32")
 
     def _next_key(self):
