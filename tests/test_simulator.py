@@ -81,3 +81,22 @@ def test_simulated_bound_covers_observed_error():
     q_over_2p_bits = (params.modulus // (2 * p_mod)).bit_length()
     # decodability condition used by the reference's crt-depth search
     assert bound_bits < q_over_2p_bits, (bound_bits, q_over_2p_bits)
+
+
+def test_ggh15_and_commit_norm_evaluators():
+    from mxx_tpu.simulator import NormPltCommitEvaluator, NormPltGGH15Evaluator
+    params, ctx = make_ctx()
+    p_mod = 7
+    circuit = PolyCircuit()
+    inputs = circuit.input(1)
+    lut = PublicLut.from_dict(params, {x: (x, x % p_mod) for x in range(p_mod)})
+    lid = circuit.register_public_lut(lut)
+    circuit.output([circuit.public_lookup_gate(inputs[0], lid)])
+    e_init = Decimal(4) * Decimal("6.5")
+    for ev in (
+        NormPltGGH15Evaluator(ctx, Decimal(4), Decimal(4)),
+        NormPltCommitEvaluator(ctx, Decimal(4), 2, len(lut)),
+    ):
+        outs = simulate_max_error_norm(circuit, ctx, Decimal(p_mod - 1), 1, e_init, ev)
+        assert outs[0].matrix_norm.poly_norm.norm > 0
+        assert outs[0].plaintext_norm.norm == Decimal(p_mod - 1)
