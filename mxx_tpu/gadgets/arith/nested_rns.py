@@ -372,6 +372,44 @@ class NestedRnsPoly:
             trace_bounds=[self.ctx.p_max - 1] * self.levels,
         )
 
+    def const_mul(self, c: int, circuit: PolyCircuit) -> "NestedRnsPoly":
+        """Multiply by a small non-negative integer constant (wire-wise
+        small-scalar multiplies by c mod p_i, with budget tracking)."""
+        assert c >= 0
+        if c == 0:
+            zero_wires = [
+                [circuit.const_zero_gate() for _ in lvl] for lvl in self.wires
+            ]
+            return replace(
+                self,
+                wires=zero_wires,
+                value_bounds=[0] * self.levels,
+                trace_bounds=[0] * self.levels,
+            )
+        a = self
+        if any(v * c >= self.ctx.p_full for v in a.value_bounds):
+            a = a.full_reduce(circuit)
+        if max(a.trace_bounds) * min(c, self.ctx.p_max) >= min(self.ctx.lut_mod_p_domain):
+            a = a.lazy_reduce(circuit)
+        wires = []
+        for lvl in a.wires:
+            out = []
+            for i, w in enumerate(lvl):
+                ci = c % self.ctx.p_moduli[i]
+                if ci == 0:
+                    out.append(circuit.const_zero_gate())
+                else:
+                    out.append(circuit.public_lookup_gate(
+                        circuit.small_scalar_mul(w, [ci]), self.ctx.lut_mod_p_ids[i]
+                    ))
+            wires.append(out)
+        return replace(
+            self,
+            wires=wires,
+            value_bounds=[v * c for v in a.value_bounds],
+            trace_bounds=[self.ctx.p_max - 1] * self.levels,
+        )
+
     def full_reduce(self, circuit: PolyCircuit) -> "NestedRnsPoly":
         """HPS base extension per q-level (context.rs full_reduce_subcircuit)."""
         ctx = self.ctx

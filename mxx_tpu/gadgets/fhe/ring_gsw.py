@@ -129,6 +129,52 @@ class RingGswCiphertext:
         out = s.sub(p, circuit).sub(p, circuit)
         return RingGswCiphertext(out.ctx, out.rows, 1)
 
+    def gadget_decompose_value_consts(self, value: int) -> list[int]:
+        """Host-side gadget decomposition constants d_t of an integer:
+        sum_t g_t * d_t == value (mod Q), ordered like gadget_row()."""
+        ctx = self.ctx.nested
+        out = []
+        from ...utils.numth import modinv
+
+        for q_l in ctx.q_moduli:
+            r = value % q_l
+            ys = []
+            real_sum = 0
+            for p in ctx.p_moduli:
+                inv = modinv(ctx.p_full // p % p, p)
+                y = (r % p) * inv % p
+                ys.append(y)
+                real_sum += ((y * ctx.scale) + p // 2) // p
+            w = (real_sum + ctx.scale // 2) // ctx.scale
+            out.extend(ys)
+            out.append(w)
+        return out
+
+    def decrypt(self, circuit: PolyCircuit, key_wire: int, plaintext_modulus: int
+                ) -> tuple[int, int]:
+        """Split decryption (reference ring_gsw.rs:1506-1665): returns
+        (secret_dependent, public_bottom) wires whose sum equals
+        (Q / t) * m + noise. `key_wire` must carry -s (the key (-s, 1))."""
+        ctx = self.ctx
+        L = ctx.gadget_len
+        scaled = ctx.q_big // plaintext_modulus
+        d_consts = self.gadget_decompose_value_consts(scaled)
+        assert len(d_consts) == L
+
+        def combine(row_half):
+            acc = None
+            for t, c in enumerate(d_consts):
+                term = row_half[t].const_mul(c, circuit)
+                acc = term if acc is None else acc.add(term, circuit)
+            return acc
+
+        top = combine(self.rows[0][L:])
+        bottom = combine(self.rows[1][L:])
+        top_wire = top.reconstruct(circuit)
+        bottom_wire = bottom.reconstruct(circuit)
+        secret_dependent = circuit.mul_gate(top_wire, key_wire)
+        return secret_dependent, bottom_wire
+
     def reconstruct(self, circuit: PolyCircuit) -> list[int]:
         """Collapse each entry to a single value wire (2*width wires)."""
         out = []
