@@ -14,3 +14,10 @@ from .lattice_estimator import (  # noqa: F401
     heuristic_security_bits,
     run_lattice_estimator_cli,
 )
+from .eval_error import (  # noqa: F401
+    AffineCircuitEvaluator,
+    AffineErrorNormExpr,
+    AffineLWEWrapper,
+    ErrorNormSummaryExpr,
+    simulate_max_error_norm_affine,
+)
