@@ -1,0 +1,116 @@
+"""DiamondIO benchmark estimation: measured per-op costs extrapolated over
+the protocol phase structure.
+
+TPU-build of /root/reference/src/io/diamond_io/bench_estimator*.rs +
+bench_estimator_shape.rs (SURVEY.md A.8): wall-clock a representative
+trapdoor preimage and per-gate wire ops at the target parameters, then
+aggregate over (a) the injector's transition-preimage count, (b) output
+projection + decoder preimages, and (c) the wrapped circuit's grouped
+execution plan. This is how the reference's committed CSV numbers were
+produced (bench/security_bits_100_diamond_io_simulation_parameters.csv).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from ..bench_estimator import GateCostModel, estimate_circuit, measure_bgg_encoding_costs
+from ..circuit.analysis import GroupedExecutionPlan
+from ..matrix import PolyMatrix
+from ..sampler import FinRingDist, TrapdoorSampler, UniformSampler
+
+
+@dataclass
+class DiamondIOBenchEstimate:
+    obfuscate_latency_secs: float
+    eval_latency_secs: float
+    total_time_secs: float
+    max_parallelism: int
+    injector_preimage_count: int
+    decoder_preimage_count: int
+    artifact_bytes: int
+
+
+def measure_preimage_cost(params, d: int = 2, cols: int | None = None,
+                          iterations: int = 2, sigma: float = 4.578) -> float:
+    """Median wall time of one trapdoor preimage at protocol shape (the
+    injector uses d=2 bases; reference benchmark_gate_operation)."""
+    ts = TrapdoorSampler(params, sigma, seed=0)
+    td, b = ts.trapdoor(params, d)
+    cols = cols if cols is not None else b.ncol
+    target = UniformSampler(seed=1).sample_uniform(params, d, cols, FinRingDist())
+    ts.preimage(params, td, b, target).data.block_until_ready()
+    times = []
+    for _ in range(iterations):
+        t0 = time.perf_counter()
+        ts.preimage(params, td, b, target).data.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def estimate_diamond_io(
+    dio,
+    builder,
+    parallelism: int = 1,
+    preimage_cost: float | None = None,
+    gate_costs: GateCostModel | None = None,
+) -> DiamondIOBenchEstimate:
+    """Compose measured costs over the DiamondIO phase structure."""
+    params = dio.params
+    if preimage_cost is None:
+        preimage_cost = measure_preimage_cost(params)
+    if gate_costs is None:
+        gate_costs = measure_bgg_encoding_costs(params)
+
+    # injector transition preimages: sum over levels of base * state_count
+    injector = dio.injector
+    injector_preimages = sum(
+        injector.base * injector.state_count_at_level(level)
+        for level in range(1, injector.input_count + 1)
+    )
+    # trapdoor keygens (one per level/state) counted at preimage cost scale
+    trapdoor_count = sum(
+        injector.state_count_at_level(level) for level in range(injector.input_count + 1)
+    )
+
+    num_outputs = dio._probe_num_outputs(builder)
+    circuit = dio._build_wrapped_circuit(
+        builder, (1, 1), [(0, 0)] * num_outputs
+    )
+    plan = GroupedExecutionPlan.from_circuit(circuit)
+    circuit_est = estimate_circuit(circuit, gate_costs, parallelism)
+
+    projection_preimages = 1 + 1 + dio.num_input_bits  # one + k + input bits
+    decoder_preimages = num_outputs
+    offline_preimages = injector_preimages + projection_preimages + decoder_preimages
+
+    obfuscate_latency = (
+        trapdoor_count * preimage_cost
+        + offline_preimages * preimage_cost / max(parallelism, 1)
+        + circuit_est.latency_secs  # pubkey-path eval
+    )
+    # online: injector chain matmuls (~1 matmul per state per level) + eval
+    state_matmuls = sum(
+        injector.state_count_at_level(level) for level in range(1, injector.input_count + 1)
+    )
+    matmul_cost = gate_costs.cost("Mul")
+    eval_latency = state_matmuls * matmul_cost + circuit_est.latency_secs
+
+    # artifact bytes: transition matrices + projections (+ decoder preimages)
+    k_digits = params.modulus_digits
+    state_cols = 2 * (k_digits + 2)
+    entry_bytes = params.crt_depth * params.n * 4
+    matrix_bytes = state_cols * state_cols * entry_bytes
+    artifact_bytes = (injector_preimages + projection_preimages + decoder_preimages) * matrix_bytes
+
+    return DiamondIOBenchEstimate(
+        obfuscate_latency_secs=obfuscate_latency,
+        eval_latency_secs=eval_latency,
+        total_time_secs=obfuscate_latency + eval_latency + circuit_est.total_time_secs,
+        max_parallelism=max(plan.max_parallelism, parallelism),
+        injector_preimage_count=injector_preimages,
+        decoder_preimage_count=decoder_preimages,
+        artifact_bytes=artifact_bytes,
+    )

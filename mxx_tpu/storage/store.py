@@ -81,15 +81,25 @@ class StorageSystem:
             entry["indices"] = sorted(set(entry["indices"]) | {i for i, _ in buffer.payloads})
         path = self._batch_file(buffer.id_prefix, part)
 
-        def write():
-            path.write_bytes(buffer.serialize())
+        from ..native.writer import submit_write, writer_available
 
-        self._futures.append(self._pool.submit(write))
+        if writer_available():
+            # native async writer (C++ worker pool; reference write.rs:363)
+            submit_write(path, buffer.serialize())
+        else:
+            def write():
+                path.write_bytes(buffer.serialize())
+
+            self._futures.append(self._pool.submit(write))
 
     def wait_for_all_writes(self):
         for f in list(self._futures):
             f.result()
         self._futures.clear()
+        from ..native.writer import wait_all_writes, write_errors
+
+        wait_all_writes()
+        assert write_errors() == 0, "native artifact writer reported I/O errors"
         self._flush_index()
 
     def read_bytes(self, prefix: str, idx: int) -> bytes | None:

@@ -1,0 +1,68 @@
+"""Produce the DiamondIO benchmark-estimation CSV on the real TPU.
+
+Mirror of the reference's committed estimation table
+(/root/reference/bench/security_bits_100_diamond_io_simulation_parameters.csv):
+per configuration row, measured per-op costs extrapolated to obfuscate/eval
+latency, parallelism, and artifact bytes.
+"""
+
+import csv
+import sys
+from pathlib import Path
+
+sys.path.insert(0, ".")
+
+import mxx_tpu  # noqa: F401
+
+from mxx_tpu.ring.params import RingParams
+from mxx_tpu.io_protocols import DiamondIO
+from mxx_tpu.io_protocols.bench_estimator import estimate_diamond_io
+
+
+def and_builder(circuit, bits):
+    acc = bits[0]
+    for b in bits[1:]:
+        acc = circuit.and_gate(acc, b)
+    return [acc]
+
+
+CONFIGS = [
+    # (input_count, batch_bits, n, depth, crt_bits, base_bits)
+    (4, 2, 4096, 8, 28, 14),
+    (8, 2, 4096, 8, 28, 14),
+    (4, 2, 8192, 10, 28, 14),
+]
+
+
+def main():
+    out = Path("bench")
+    out.mkdir(exist_ok=True)
+    rows = []
+    for input_count, batch_bits, n, depth, crt_bits, base_bits in CONFIGS:
+        params = RingParams.new(n, depth, crt_bits, base_bits)
+        dio = DiamondIO(params, input_count, batch_bits, seed=1)
+        est = estimate_diamond_io(dio, and_builder, parallelism=8)
+        rows.append(
+            {
+                "input_bits": input_count * batch_bits,
+                "ring_dim": n,
+                "crt_depth": depth,
+                "crt_bits": crt_bits,
+                "base_bits": base_bits,
+                "obfuscate_latency_secs": round(est.obfuscate_latency_secs, 3),
+                "eval_latency_secs": round(est.eval_latency_secs, 3),
+                "total_time_secs": round(est.total_time_secs, 3),
+                "max_parallelism": est.max_parallelism,
+                "injector_preimages": est.injector_preimage_count,
+                "artifact_bytes": est.artifact_bytes,
+            }
+        )
+        print(rows[-1], flush=True)
+    with open(out / "diamond_io_estimates.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+
+
+if __name__ == "__main__":
+    main()

@@ -48,3 +48,15 @@ def test_matrix_packed_roundtrip_and_ratio():
     plain = m.to_compact_bytes()
     ratio = len(plain) / len(raw)
     assert ratio > 1.7  # ~32/17 bits per residue minus headers
+
+
+def test_native_async_writer(tmp_path):
+    from mxx_tpu.native.writer import submit_write, wait_all_writes, write_errors, writer_available
+
+    assert writer_available()
+    for i in range(32):
+        submit_write(tmp_path / f"f{i}.bin", bytes([i]) * 1000)
+    wait_all_writes()
+    assert write_errors() == 0
+    for i in range(32):
+        assert (tmp_path / f"f{i}.bin").read_bytes() == bytes([i]) * 1000
