@@ -1,0 +1,73 @@
+"""Debug preimage shortcut, relation-checking evaluator, injector simulation."""
+
+from decimal import Decimal
+
+import mxx_tpu  # noqa: F401
+
+from mxx_tpu.ring.params import RingParams
+from mxx_tpu.ring.poly import Poly
+from mxx_tpu.matrix import PolyMatrix
+from mxx_tpu.sampler import FinRingDist, TernaryDist, TrapdoorSampler, UniformSampler
+from mxx_tpu.bgg import BGGEncodingSampler, BGGPublicKeySampler
+from mxx_tpu.circuit import PolyCircuit
+from mxx_tpu.lookup import PublicLut
+from mxx_tpu.lookup.debug import RelationCheckingPltEvaluator, debug_trapdoor_preimage
+from mxx_tpu.lookup.lwe import LWEBGGEncodingPltEvaluator, LWEBGGPubKeyPltEvaluator
+from mxx_tpu.input_injector import DiamondInjector
+from mxx_tpu.input_injector.simulation import simulate_output_error_bounds
+from mxx_tpu.storage import init_storage_system, wait_for_all_writes
+
+KEY = bytes(range(32))
+
+
+def test_debug_preimage_is_exact_preimage():
+    params = RingParams.default()
+    ts = TrapdoorSampler(params, 4.578, seed=131)
+    td, a = ts.trapdoor(params, 1)
+    target = UniformSampler(seed=132).sample_uniform(params, 1, 2, FinRingDist())
+    x = debug_trapdoor_preimage(params, td, target)
+    assert (a @ x) == target
+
+
+def test_relation_checking_evaluator(tmp_path):
+    params = RingParams.new(16, 4, 28, 7)
+    circuit = PolyCircuit()
+    w = circuit.input(1)
+    lut = PublicLut.from_dict(params, {x: (x, x % 3) for x in range(9)})
+    lid = circuit.register_public_lut(lut)
+    circuit.output([circuit.public_lookup_gate(w[0], lid)])
+
+    us = UniformSampler(seed=133)
+    secrets = [us.sample_poly(params, TernaryDist())]
+    pubkeys = BGGPublicKeySampler(KEY, 1).sample(params, b"dbg", [True])
+    es = BGGEncodingSampler(params, secrets, None, seed=134)
+    encodings = es.sample(params, pubkeys, [Poly.const(params, 7)])
+
+    init_storage_system(tmp_path)
+    ts = TrapdoorSampler(params, 4.578, seed=135)
+    td, b0 = ts.trapdoor(params, 1)
+    pk_eval = LWEBGGPubKeyPltEvaluator(KEY, ts, b0, td, tmp_path)
+    circuit.eval(params, pubkeys[0], pubkeys[1:], plt_evaluator=pk_eval)
+    pk_eval.sample_aux_matrices(params)
+    wait_for_all_writes()
+
+    enc_eval = RelationCheckingPltEvaluator(
+        LWEBGGEncodingPltEvaluator(KEY, tmp_path, es.secret_vec @ b0), es.secret_vec
+    )
+    out = circuit.eval(params, encodings[0], encodings[1:], plt_evaluator=enc_eval)[0]
+    assert out.plaintext.const_coeff() == 7 % 3
+
+
+def test_injector_error_simulation():
+    params = RingParams.new(16, 4, 28, 7)
+    injector = DiamondInjector(params, 3, 4, 2, 4.578, 4.0, seed=136)
+    sim = simulate_output_error_bounds(injector)
+    assert len(sim.state_errors) == 1 + 3 * 2
+    # deeper levels accumulate more error
+    assert sim.state_errors[1].poly_norm.norm > 0
+    assert sim.output_preimage.poly_norm.norm > 0
+    # error grows monotonically with input_count
+    sim2 = simulate_output_error_bounds(
+        DiamondInjector(params, 5, 4, 2, 4.578, 4.0, seed=137)
+    )
+    assert sim2.state_errors[0].poly_norm.norm > sim.state_errors[0].poly_norm.norm
