@@ -74,3 +74,133 @@ def pre_rounding_bound_holds(input_error_norm: Decimal, q_bits: int, v_bits: int
     correct (reference aky24 simulation
     `max_noise_refresh_v_bits_without_pre_rounding_error`)."""
     return input_error_norm < Decimal(2) ** (q_bits - v_bits - 1)
+
+
+class DiamondNoiseRefresher(NoiseRefresher):
+    """Concrete mask-decode-round-rebuild refresher for absolute-channel BGG
+    wires inside a Diamond-style context (state0 ~ [sigma, k] B0).
+
+    The reference pipeline (naive_vec.rs) masks each CRT level with PRG
+    material, decodes, rounds keeping v_bits, and rebuilds; this refresher
+    realizes the same offline/online split with a uniform additive mask:
+
+    offline (preprocess): for wire pubkey A_c and plaintext alignment
+    Delta = 2^{q_bits - v_bits}: sample a Delta-aligned mask m, derive A_m,
+    A_j from the hash, and store preimages for (i) the abs-channel mask
+    encoding of m, (ii) abs-channel digit encodings of Delta * base^j, and
+    (iii) the decoder target [(A_c + A_m) G^{-1}(e_0); 0].
+
+    online: decode y = x + m + e_in from the masked wire, round to the Delta
+    grid (killing e_in), and rebuild c' = sum_j d_j E_j - E_m — a fresh
+    encoding of x whose error comes only from the stored preimages.
+    Requires the payload k in {-1, +1} (invertible) as in DiamondIO.
+    """
+
+    def __init__(self, params, trap_sampler, b0, td0, hash_key: bytes, k_int: int,
+                 v_bits: int, base_bits: int = 8):
+        from ..utils.numth import modinv
+
+        assert k_int in (-1, 1), "payload k must be invertible"
+        self.params = params
+        self.trap = trap_sampler
+        self.b0 = b0
+        self.td0 = td0
+        self.hash_key = hash_key
+        self.k_inv = modinv(k_int % params.modulus, params.modulus)
+        self.v_bits = v_bits
+        self.digit_base_bits = base_bits
+        q_bits = params.modulus_bits
+        self.delta = 1 << (q_bits - v_bits)
+        self.num_digits = -(-v_bits // base_bits) + 1
+
+    def _hash_pk(self, tag: str):
+        from ..sampler import FinRingDist, HashSampler
+
+        m_g = self.params.modulus_digits
+        return HashSampler().sample_hash(
+            self.params, self.hash_key, tag, 1, m_g, FinRingDist()
+        )
+
+    def _abs_encoding_preimage(self, a_matrix, value: int):
+        """Preimage P with state0 @ P = sigma*A - value*G (absolute channel):
+        target [A; -G * (value * k^{-1})]."""
+        from ..matrix import PolyMatrix
+        from ..ring.poly import Poly
+
+        params = self.params
+        g = PolyMatrix.gadget_matrix(params, 1)
+        w = value * self.k_inv % params.modulus
+        bottom = -g.mul_poly_scalar(Poly.const(params, w))
+        return self.trap.preimage(params, self.td0, self.b0, a_matrix.concat_rows([bottom]))
+
+    def preprocess(self, refresh_id: bytes, a_c, rng=None):
+        """Returns the refresh material dict (preimages + mask pubkeys)."""
+        import random
+
+        from ..matrix import PolyMatrix
+
+        params = self.params
+        rng = rng or random.Random(0)
+        q = params.modulus
+        m_val = self.delta * rng.randrange(q // self.delta)
+        a_m = self._hash_pk(f"nr_mask_{refresh_id.hex()}")
+        digit_pks = [
+            self._hash_pk(f"nr_digit_{refresh_id.hex()}_{j}") for j in range(self.num_digits)
+        ]
+        sel = PolyMatrix.identity(params, 1).slice_columns(0, 1)
+        dec_target_top = (a_c + a_m).mul_decompose(sel)
+        dec_target = dec_target_top.concat_rows(
+            [PolyMatrix.zero(params, 1, dec_target_top.ncol)]
+        )
+        material = {
+            "mask_value": m_val,
+            "a_m": a_m,
+            "digit_pks": digit_pks,
+            "p_mask": self._abs_encoding_preimage(a_m, m_val),
+            "p_digits": [
+                self._abs_encoding_preimage(
+                    digit_pks[j], self.delta * (1 << (self.digit_base_bits * j)) % q
+                )
+                for j in range(self.num_digits)
+            ],
+            "p_decoder": self.trap.preimage(params, self.td0, self.b0, dec_target),
+        }
+        return material
+
+    def online_eval(self, refresh_id: bytes, state0, c_enc, material):
+        """Refresh the absolute-channel encoding `c_enc` (pubkey A_c)."""
+        from ..bgg import BggEncoding, BggPublicKey
+        from ..matrix import PolyMatrix
+
+        params = self.params
+        q = params.modulus
+        e_m = BggEncoding(
+            state0 @ material["p_mask"], BggPublicKey(material["a_m"], False), None
+        )
+        c_masked = c_enc + e_m
+        sel = PolyMatrix.identity(params, 1).slice_columns(0, 1)
+        proj = state0 @ material["p_decoder"]
+        noisy = proj - c_masked.vector.mul_decompose(sel)
+        y = noisy.entry(0, 0).coeffs()[0]
+        # x + m may have wrapped mod q, shifting the Delta grid by -q; round
+        # against both wrap branches and take the nearer grid point.
+        best = None
+        for t in (0, 1):
+            v = y + t * q
+            w_t = (v + self.delta // 2) // self.delta
+            err = abs(v - self.delta * w_t)
+            if best is None or err < best[0]:
+                best = (err, w_t)
+        w = best[1]
+        base = 1 << self.digit_base_bits
+        acc = None
+        for j in range(self.num_digits):
+            d_j = (w >> (self.digit_base_bits * j)) & (base - 1)
+            e_j = BggEncoding(
+                state0 @ material["p_digits"][j],
+                BggPublicKey(material["digit_pks"][j], False),
+                None,
+            )
+            term = e_j.small_scalar_mul(params, [d_j])
+            acc = term if acc is None else acc + term
+        return acc - e_m
