@@ -74,6 +74,28 @@ class StorageSystem:
         return self.dir_path / f"{prefix}_batch{part}.bin"
 
     def add_buffer(self, buffer: BatchLookupBuffer):
+        """Enqueue a buffer; buffers over the size limit are split into
+        multiple parts (reference write.rs BatchLookupBuffer auto-split by
+        LUT_BYTES_LIMIT, :48-110)."""
+        from .. import config
+
+        limit = config.lut_bytes_limit()
+        total = sum(len(raw) for _, raw in buffer.payloads)
+        if total > limit and len(buffer.payloads) > 1:
+            chunk: list = []
+            size = 0
+            for item in buffer.payloads:
+                if chunk and size + len(item[1]) > limit:
+                    self._add_one(BatchLookupBuffer(buffer.id_prefix, chunk))
+                    chunk, size = [], 0
+                chunk.append(item)
+                size += len(item[1])
+            if chunk:
+                self._add_one(BatchLookupBuffer(buffer.id_prefix, chunk))
+            return
+        self._add_one(buffer)
+
+    def _add_one(self, buffer: BatchLookupBuffer):
         with self._index_lock:
             entry = self._index.setdefault(buffer.id_prefix, {"parts": 0, "indices": []})
             part = entry["parts"]

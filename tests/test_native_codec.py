@@ -60,3 +60,29 @@ def test_native_async_writer(tmp_path):
     assert write_errors() == 0
     for i in range(32):
         assert (tmp_path / f"f{i}.bin").read_bytes() == bytes([i]) * 1000
+
+
+def test_storage_buffer_splitting(tmp_path, monkeypatch):
+    monkeypatch.setenv("LUT_BYTES_LIMIT", "100")
+    from mxx_tpu.storage import (
+        BatchLookupBuffer,
+        StorageSystem,
+    )
+
+    sys_ = StorageSystem(tmp_path)
+    payloads = [(i, bytes([i]) * 60) for i in range(5)]  # 300B > 100B limit
+    sys_.add_buffer(BatchLookupBuffer("split_test", payloads))
+    sys_.wait_for_all_writes()
+    assert sys_._index["split_test"]["parts"] >= 3
+    for i in range(5):
+        assert sys_.read_bytes("split_test", i) == bytes([i]) * 60
+
+
+def test_prg_range_plan():
+    from mxx_tpu.decoder.prg import PrgRangePlan
+
+    plan = PrgRangePlan()
+    assert plan.allocate("seed", 32) == (0, 32)
+    assert plan.allocate("masks", 16) == (32, 16)
+    assert plan.total == 48
+    assert plan.range_of("seed") == (0, 32)
