@@ -291,6 +291,41 @@ class GGH15BGGPubKeyPltEvaluator:
             self.gate_state.pop(gate_id)
 
 
+class GGH15BGGPolyEncodingPltEvaluator:
+    """Online GGH15 lookup over packed slot-wise encodings (reference
+    ggh15/poly_encoding.rs): the stored chain is slot-independent; each slot
+    decodes with its own c_b0 row and its own LUT row, and the slot rows are
+    restacked under the shared hash-derived output pubkey."""
+
+    def __init__(self, hash_key: bytes, dir_path, checkpoint_prefix: str, params,
+                 c_b0_rows):
+        self.scalar = GGH15BGGEncodingPltEvaluator(
+            hash_key, dir_path, checkpoint_prefix, params, None
+        )
+        self.c_b0_rows = c_b0_rows  # S x m_b
+
+    def public_lookup(self, params, plt, one, input_enc, gate_id, lut_id):
+        from ..bgg.encoding import BggEncoding
+        from ..bgg.poly_encoding import BggPolyEncoding
+
+        assert input_enc.plaintexts is not None
+        assert self.c_b0_rows.nrow == input_enc.num_slots, (
+            f"c_b0_rows has {self.c_b0_rows.nrow} rows for "
+            f"{input_enc.num_slots} slots"
+        )
+        rows = []
+        out_pk = None
+        out_pts = []
+        for s in range(input_enc.num_slots):
+            self.scalar.c_b0 = self.c_b0_rows.slice_rows(s, s + 1)
+            enc = BggEncoding(input_enc.vector(s), input_enc.pubkey, input_enc.plaintext(s))
+            got = self.scalar.public_lookup(params, plt, None, enc, gate_id, lut_id)
+            rows.append(got.vector)
+            out_pk = got.pubkey
+            out_pts.append(got.plaintext)
+        return BggPolyEncoding(rows[0].concat_rows(rows[1:]), out_pk, tuple(out_pts))
+
+
 class GGH15BGGEncodingPltEvaluator:
     """Online (encoding-path) evaluator reading stored preimage chains."""
 

@@ -94,3 +94,34 @@ def test_packed_lwe_lookup(tmp_path):
     assert got.pubkey == result_pk
     assert [p.const_coeff() for p in got.plaintexts] == [1, 4, 1]
     check_slot_invariant(params, got, sampler)
+
+
+def test_packed_ggh15_lookup(tmp_path):
+    from mxx_tpu.lookup.ggh15 import (
+        GGH15BGGPolyEncodingPltEvaluator,
+        GGH15BGGPubKeyPltEvaluator,
+    )
+
+    params = RingParams.default()
+    sampler, pubkeys, encs = make_packed(params, [[3, 5, 9]], seed=70)
+    circuit = PolyCircuit()
+    w = circuit.input(1)
+    lut = PublicLut.from_dict(params, {x: (x, x % 4) for x in range(16)})
+    lid = circuit.register_public_lut(lut)
+    circuit.output([circuit.public_lookup_gate(w[0], lid)])
+
+    init_storage_system(tmp_path)
+    pk_eval = GGH15BGGPubKeyPltEvaluator(KEY, 1, 4.578, 0.0, tmp_path, seed=71)
+    result_pk = circuit.eval(params, pubkeys[0], pubkeys[1:], plt_evaluator=pk_eval)[0]
+    pk_eval.sample_aux_matrices(params)
+    wait_for_all_writes()
+
+    b0 = pk_eval.load_b0_matrix_checkpoint(params)
+    c_b0_rows = sampler.secret_mat @ b0
+    enc_eval = GGH15BGGPolyEncodingPltEvaluator(
+        KEY, tmp_path, pk_eval.checkpoint_prefix(params), params, c_b0_rows
+    )
+    got = circuit.eval(params, encs[0], encs[1:], plt_evaluator=enc_eval)[0]
+    assert got.pubkey == result_pk
+    assert [p.const_coeff() for p in got.plaintexts] == [3, 1, 1]
+    check_slot_invariant(params, got, sampler)
