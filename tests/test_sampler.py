@@ -122,3 +122,56 @@ def test_trapdoor_serde():
     td, _ = ts.trapdoor(params, 1)
     back = Trapdoor.from_compact_bytes(params, td.to_compact_bytes())
     assert back.r == td.r and back.e == td.e
+
+
+def test_preimage_not_plain_gadget_solution():
+    """The gadget-block rows must be a randomized Gaussian coset sample, not
+    the deterministic digit decomposition (reference
+    gpu.rs test_gpu_preimage_generation_square_not_plain_gadget_solution)."""
+    params = RingParams.new(16, 2, 20, 5)
+    ts = TrapdoorSampler(params, SIGMA, seed=21)
+    td, a = ts.trapdoor(params, 1)
+    target = UniformSampler(seed=22).sample_uniform(params, 1, 2, FinRingDist())
+    x = ts.preimage(params, td, a, target)
+    assert (a @ x) == target
+    # digits of the bottom block exceed the base (impossible for plain G^-1)
+    k = params.modulus_digits
+    bot = x.slice_rows(2, 2 + k)
+    vals = np.asarray(bot.to_coeff().data[0]).astype(np.int64)
+    q0 = params.moduli[0]
+    vals = np.where(vals > q0 // 2, vals - q0, vals)
+    assert vals.min() < 0, "coset sample must contain negative digits"
+    assert np.abs(vals).max() >= params.base, "plain digit decomposition detected"
+    # two preimages of the same target differ (randomized sampler)
+    x2 = ts.preimage(params, td, a, target)
+    assert (a @ x2) == target
+    assert x != x2
+
+
+def test_preimage_perturbation_covariance_tables():
+    """LDL tables: leading slot variance equals s^2 - c^2 * a_00 and the
+    sampled p1 stays within the s-scale envelope."""
+    from mxx_tpu.sampler.trapdoor import (
+        _build_p1_cov,
+        _centered_lift_f64,
+        _p1_ldl_tables,
+        preimage_smoothing_parameter,
+    )
+
+    params = RingParams.new(16, 2, 20, 5)
+    ts = TrapdoorSampler(params, SIGMA, seed=31)
+    td, a = ts.trapdoor(params, 1)
+    a_c = np.asarray(_centered_lift_f64(td.a_mat()))
+    b_c = np.asarray(_centered_lift_f64(td.b_mat()))
+    d_c = np.asarray(_centered_lift_f64(td.d_mat()))
+    s = preimage_smoothing_parameter(params.base, SIGMA, 1, params.n, params.modulus_digits)
+    cov = _build_p1_cov(a_c, b_c, d_c, s, ts.c)
+    sqrt_var, upd = _p1_ldl_tables(cov, SIGMA**2)
+    # last pivot is untouched by elimination: var = s^2 - c^2 * d_00
+    want_last = s * s - ts.c * ts.c * d_c[0, 0]
+    assert np.allclose(sqrt_var[:, 1] ** 2, want_last)
+    assert np.all(sqrt_var > 0)
+    # per-slot Gram coefficients are signed, so pivots wobble around s but
+    # stay within the c^2 * |gram| envelope of s^2
+    gram_bound = ts.c**2 * max(np.abs(a_c).max(), np.abs(b_c).max(), np.abs(d_c).max())
+    assert np.all(np.abs(sqrt_var**2 - s * s) <= 2 * gram_bound + 1e-6)
