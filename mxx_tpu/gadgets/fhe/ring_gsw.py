@@ -150,11 +150,10 @@ class RingGswCiphertext:
             out.append(w)
         return out
 
-    def decrypt(self, circuit: PolyCircuit, key_wire: int, plaintext_modulus: int
-                ) -> tuple[int, int]:
-        """Split decryption (reference ring_gsw.rs:1506-1665): returns
-        (secret_dependent, public_bottom) wires whose sum equals
-        (Q / t) * m + noise. `key_wire` must carry -s (the key (-s, 1))."""
+    def _decrypt_halves(self, circuit: PolyCircuit, plaintext_modulus: int
+                        ) -> tuple[int, int]:
+        """Pre-key decrypt halves (top, bottom) as single value wires:
+        -s * top + bottom == (Q/t) m + noise."""
         ctx = self.ctx
         L = ctx.gadget_len
         scaled = ctx.q_big // plaintext_modulus
@@ -170,10 +169,40 @@ class RingGswCiphertext:
 
         top = combine(self.rows[0][L:])
         bottom = combine(self.rows[1][L:])
-        top_wire = top.reconstruct(circuit)
-        bottom_wire = bottom.reconstruct(circuit)
+        return top.reconstruct(circuit), bottom.reconstruct(circuit)
+
+    def decrypt(self, circuit: PolyCircuit, key_wire: int, plaintext_modulus: int
+                ) -> tuple[int, int]:
+        """Split decryption (reference ring_gsw.rs:1506-1665): returns
+        (secret_dependent, public_bottom) wires whose sum equals
+        (Q / t) * m + noise. `key_wire` must carry -s (the key (-s, 1))."""
+        top_wire, bottom_wire = self._decrypt_halves(circuit, plaintext_modulus)
         secret_dependent = circuit.mul_gate(top_wire, key_wire)
         return secret_dependent, bottom_wire
+
+    @staticmethod
+    def decrypt_batch(ciphertexts: list["RingGswCiphertext"], circuit: PolyCircuit,
+                      key_wire: int, plaintext_modulus: int) -> tuple[int, int]:
+        """Decrypt up to ring_dim coefficient ciphertexts into one polynomial
+        wire pair: coefficient i rides monomial x^i, and the top halves are
+        combined BEFORE the single key multiplication (reference
+        ring_gsw.rs:1518+ decrypt_batch)."""
+        assert ciphertexts, "decrypt_batch requires ciphertexts"
+        params = ciphertexts[0].ctx.params
+        assert len(ciphertexts) <= params.n
+        top_acc = None
+        bot_acc = None
+        for i, ct in enumerate(ciphertexts):
+            top, bottom = ct._decrypt_halves(circuit, plaintext_modulus)
+            if i:
+                mono = [0] * params.n
+                mono[i] = 1
+                top = circuit.small_scalar_mul(top, mono)
+                bottom = circuit.small_scalar_mul(bottom, mono)
+            top_acc = top if top_acc is None else circuit.add_gate(top_acc, top)
+            bot_acc = bottom if bot_acc is None else circuit.add_gate(bot_acc, bottom)
+        secret_dependent = circuit.mul_gate(top_acc, key_wire)
+        return secret_dependent, bot_acc
 
     def reconstruct(self, circuit: PolyCircuit) -> list[int]:
         """Collapse each entry to a single value wire (2*width wires)."""

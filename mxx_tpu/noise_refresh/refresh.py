@@ -8,10 +8,14 @@ decoder targets ordered slot_idx * crt_depth + crt_idx; the online path
 evaluates over encoding wires, subtracts the decoder outputs per CRT level,
 rounds keeping `v_bits` low bits, and CRT-recomposes.
 
-Round-1 scope: the `NoiseRefresher` protocol, the exact rounding/recompose
-helpers used by that pipeline, and the error-growth simulation. The GSW
-material circuits exist as building blocks (gadgets/fhe, gadgets/fhe_prg);
-wiring them through `preprocess`/`online_eval` is the next milestone.
+Scope: the `NoiseRefresher` protocol, the exact rounding/recompose helpers,
+the error-growth simulation, and the concrete `DiamondNoiseRefresher`
+(mask-decode-round-rebuild). The material circuits live next door:
+`circuit_prg.py` (Goldreich PRG expansion over RingGSW), `circuit_decrypt.py`
+(batched polynomial GSW decryption with monomial packing + centered mask
+decode), `circuit_merge.py` (error+mask merge). The CRT-level-split
+NaiveVec orchestrator threading those through preprocess/online_eval over
+vector wires is next-round work.
 """
 
 from __future__ import annotations
