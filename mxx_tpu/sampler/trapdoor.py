@@ -131,13 +131,14 @@ def _centered_lift_f64(mat: PolyMatrix) -> jnp.ndarray:
 
 
 def _matrix_from_signed(params: RingParams, vals: jnp.ndarray) -> PolyMatrix:
-    """Small signed int64 coefficients [r, c, n] -> PolyMatrix (COEFF), the
+    """Small signed integer coefficients [r, c, n] -> PolyMatrix (COEFF), the
     value reduced into every CRT tower (CUDA scatter signed_mod_i64,
-    MatrixTrapdoor.cu:890-896)."""
+    MatrixTrapdoor.cu:890-896). int32 remainder keeps the reduction on native
+    TPU integer units."""
     from ..ring.poly import COEFF
 
-    q = params.jt.moduli.astype(jnp.int64)[:, None, None, None]
-    data = (vals[None] % q).astype(jnp.uint32)
+    q = params.jt.moduli.astype(jnp.int32)[:, None, None, None]
+    data = (vals.astype(jnp.int32)[None] % q).astype(jnp.uint32)
     return PolyMatrix(data, COEFF, params)
 
 
@@ -155,7 +156,11 @@ def _gauss_samp_gq(coeff_data, key, *, base_bits: int, dpt: int,
     bf = float(b)
     kf = float(dpt)
     shape = (r, cols, n)
-    tower_digits = []  # [L][dpt] arrays of float64 digits
+    # float32 chains + int32 digit arithmetic: all intermediate values stay
+    # well inside f32-exact-integer / int32 range (digits ~ 30 b, z ~ b sigma),
+    # and TPU f64/i64 emulation is ~10x slower. The dpt==1 edge (base >= tower
+    # width, tiny test params) keeps the wide types.
+    tower_digits = []  # [L][dpt] arrays of int32 digits
     for t in range(L):
         qt = int(moduli[t])
         kt = jax.random.fold_in(key, t)
@@ -165,12 +170,13 @@ def _gauss_samp_gq(coeff_data, key, *, base_bits: int, dpt: int,
             gn = jax.random.normal(kt, shape, dtype=jnp.float64)
             vf = v.astype(jnp.float64)
             z = jnp.rint(-vf / qt + (c / qt) * gn)
-            tower_digits.append([vf + qt * z])
+            tower_digits.append([(vf + qt * z).astype(jnp.int32)])
             continue
         m_digits = [(qt >> (j * base_bits)) & (b - 1) for j in range(dpt)]
-        v_digits = [
-            ((v >> (j * base_bits)) & (b - 1)).astype(jnp.float64) for j in range(dpt)
+        v_int = [
+            ((v >> (j * base_bits)) & (b - 1)).astype(jnp.int32) for j in range(dpt)
         ]
+        v_digits = [vi.astype(jnp.float32) for vi in v_int]
         l = [math.sqrt(bf * (1.0 + 1.0 / kf) + 1.0)] + [
             math.sqrt(bf * (1.0 + 1.0 / (kf - i))) for i in range(1, dpt)
         ]
@@ -181,26 +187,29 @@ def _gauss_samp_gq(coeff_data, key, *, base_bits: int, dpt: int,
         for i in range(1, dpt):
             c_vec.append((c_vec[i - 1] + m_digits[i]) / bf)
         k1, k2 = jax.random.split(kt)
-        zf = sigma * jax.random.normal(k1, (dpt,) + shape, dtype=jnp.float64)
+        zf = jnp.float32(sigma) * jax.random.normal(k1, (dpt,) + shape, dtype=jnp.float32)
         p = [l[i] * zf[i] + h[i + 1] * zf[i + 1] for i in range(dpt - 1)]
         p.append(h[dpt - 1] * zf[dpt - 1])
         a = [(v_digits[0] - p[0]) / bf]
         for i in range(1, dpt):
             a.append((a[i - 1] + v_digits[i] - p[i]) / bf)
-        gn = jax.random.normal(k2, (dpt,) + shape, dtype=jnp.float64)
+        gn = jax.random.normal(k2, (dpt,) + shape, dtype=jnp.float32)
         last = dpt - 1
         z_last = jnp.rint(-a[last] / c_vec[last] + (sigma / c_vec[last]) * gn[last])
         a = [a[i] + z_last * c_vec[i] for i in range(dpt)]
-        z = [jnp.rint(-a[i] + sigma * gn[i]) for i in range(last)] + [z_last]
-        digs = [bf * z[0] + m_digits[0] * z_last + v_digits[0]]
+        z_int = [
+            jnp.rint(-a[i] + sigma * gn[i]).astype(jnp.int32) for i in range(last)
+        ] + [z_last.astype(jnp.int32)]
+        digs = [b * z_int[0] + m_digits[0] * z_int[last] + v_int[0]]
         for i in range(1, last):
-            digs.append(bf * z[i] - z[i - 1] + m_digits[i] * z_last + v_digits[i])
-        digs.append(m_digits[last] * z_last - z[last - 1] + v_digits[last])
+            digs.append(
+                b * z_int[i] - z_int[i - 1] + m_digits[i] * z_int[last] + v_int[i]
+            )
+        digs.append(m_digits[last] * z_int[last] - z_int[last - 1] + v_int[last])
         tower_digits.append(digs)
     flat = [d for digs in tower_digits for d in digs]  # [L*dpt][r, cols, n]
     stacked = jnp.stack(flat)  # [L*dpt, r, cols, n], tower-major digit order
-    out = jnp.transpose(stacked, (1, 0, 2, 3)).reshape(r * L * dpt, cols, n)
-    return out.astype(jnp.int64)
+    return jnp.transpose(stacked, (1, 0, 2, 3)).reshape(r * L * dpt, cols, n)
 
 
 def _build_p1_cov(a_c: np.ndarray, b_c: np.ndarray, d_c: np.ndarray,
@@ -288,6 +297,57 @@ class TrapdoorSampler:
             self._p1_cache[cache_id] = _p1_ldl_tables(cov, self.sigma * self.sigma)
         return self._p1_cache[cache_id]
 
+    def _preimage_core(self, params: RingParams, trapdoor: "Trapdoor",
+                       public_matrix: PolyMatrix, d: int):
+        """One fused jitted program for the whole preimage body. Remote TPU
+        dispatch costs ~10s of ms per eager op round-trip; a single program
+        also lets XLA fuse the sampling chains and reuse the large buffers
+        (the eager chain OOMs at ~4x the column count this path handles)."""
+        cache_id = ("core", d)
+        if cache_id in self._p1_cache:
+            return self._p1_cache[cache_id]
+        k = params.modulus_digits
+        s = preimage_smoothing_parameter(self.base, self.sigma, d, params.n, k)
+        sigma_large = math.sqrt(max(s * s - self.c * self.c, 1.0))
+        c_scale = -(self.c * self.c) / max(s * s - self.c * self.c, 1.0)
+        sigma = self.sigma
+        c = self.c
+        moduli = tuple(params.moduli)
+        base_bits = params.base_bits
+        dpt = params.digits_per_tower
+
+        @jax.jit
+        def core(target_data, r_data, e_data, pub_data, sqrt_var, upd, key):
+            from ..ring.poly import COEFF, EVAL
+
+            kp2, kp1, kg = jax.random.split(key, 3)
+            cols = target_data.shape[2]
+            target = PolyMatrix(target_data, EVAL, params)
+            r_mat = PolyMatrix(r_data, COEFF, params)
+            e_mat = PolyMatrix(e_data, COEFF, params)
+            pub = PolyMatrix(pub_data, EVAL, params)
+            # p2 ~ rounded normal at sigma_large (Peikert branch, sigma > 300)
+            gn = jax.random.normal(kp2, (d * k, cols, params.n), dtype=jnp.float32)
+            p2_int = jnp.rint(gn.astype(jnp.float64) * sigma_large)
+            p2 = _matrix_from_signed(params, p2_int)
+            tp2c = _centered_lift_f64(r_mat.concat_rows([e_mat]) @ p2)
+            p1i = _sample_p1_ints(tp2c, sqrt_var, upd, c_scale, kp1)
+            p1 = _matrix_from_signed(params, p1i)
+            p_hat = p1.concat_rows([p2])
+            syndrome = (target - pub @ p_hat).to_coeff()
+            z_i = _gauss_samp_gq(
+                syndrome.data, kg, base_bits=base_bits, dpt=dpt,
+                moduli=moduli, sigma=sigma, c=c,
+            )
+            z = _matrix_from_signed(params, z_i)
+            top = p1.slice_rows(0, d) + r_mat @ z
+            mid = p1.slice_rows(d, 2 * d) + e_mat @ z
+            bot = p2 + z
+            return top.concat_rows([mid, bot]).to_eval().data
+
+        self._p1_cache[cache_id] = core
+        return core
+
     def trapdoor(self, params: RingParams, size: int) -> tuple[Trapdoor, PolyMatrix]:
         d = size
         k = params.modulus_digits
@@ -308,36 +368,74 @@ class TrapdoorSampler:
         public_matrix: PolyMatrix,
         target: PolyMatrix,
     ) -> PolyMatrix:
+        from ..ring.poly import EVAL
+
         d = public_matrix.nrow
         assert target.nrow == d, "target rows must match public matrix rows"
-        cols = target.ncol
-        n = params.n
         k = params.modulus_digits
-        s = preimage_smoothing_parameter(self.base, self.sigma, d, n, k)
-        sigma_large = math.sqrt(max(s * s - self.c * self.c, 1.0))
+        s = preimage_smoothing_parameter(self.base, self.sigma, d, params.n, k)
         # perturbation: spherical p2 on the gadget block, covariance-corrected
-        # p1 on the [I | R;E] block (sample_pert_square_mat, gpu.rs:423-474)
-        p2 = self._uniform.sample_uniform(params, d * k, cols, GaussDist(sigma_large))
-        tp2c = _centered_lift_f64(trapdoor.re @ p2)  # [2d, cols, n]
+        # p1 on the [I | R;E] block (sample_pert_square_mat, gpu.rs:423-474),
+        # then the randomized G-lattice coset sample — one fused program.
         sqrt_var, upd = self._p1_tables(params, trapdoor, s)
-        c_scale = -(self.c * self.c) / max(s * s - self.c * self.c, 1.0)
-        p1_ints = _sample_p1_ints(tp2c, sqrt_var, upd, c_scale, self._next_key())
-        p1 = _matrix_from_signed(params, p1_ints)
-        p_hat = p1.concat_rows([p2])
-        syndrome = (target - public_matrix @ p_hat).to_coeff()
-        # randomized Gaussian G-lattice coset sample: G z == syndrome (mod q)
-        z_ints = _gauss_samp_gq(
-            syndrome.data, self._next_key(), base_bits=params.base_bits,
-            dpt=params.digits_per_tower, moduli=tuple(params.moduli),
-            sigma=self.sigma, c=self.c,
+        core = self._preimage_core(params, trapdoor, public_matrix, d)
+        data = core(
+            target.to_eval().data,
+            trapdoor.r.to_coeff().data,
+            trapdoor.e.to_coeff().data,
+            public_matrix.to_eval().data,
+            jnp.asarray(sqrt_var),
+            jnp.asarray(upd),
+            self._next_key(),
         )
-        z = _matrix_from_signed(params, z_ints)
-        rz = trapdoor.r @ z
-        ez = trapdoor.e @ z
-        top = p1.slice_rows(0, d) + rz
-        mid = p1.slice_rows(d, 2 * d) + ez
-        bot = p2 + z
-        return top.concat_rows([mid, bot])
+        return PolyMatrix(data, EVAL, params)
+
+    def preimage_batched_sharded(
+        self,
+        params: RingParams,
+        trapdoor: "Trapdoor",
+        public_matrix: PolyMatrix,
+        targets: list[PolyMatrix],
+        mesh=None,
+    ) -> list[PolyMatrix]:
+        """Batch many preimage requests and shard the concatenated column axis
+        over a device mesh (TPU-native analog of the reference's multi-GPU
+        round-robin `preimage_batched_sharded`, trapdoor/gpu.rs:371-397).
+
+        Column blocks are embarrassingly parallel, so sharding the fused
+        preimage program over the `col` mesh axis needs no collectives —
+        XLA partitions every per-column op and only the caller-side split
+        gathers. With mesh=None this is a plain batched call (one dispatch
+        for the whole batch instead of one per request)."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from ..parallel.mesh import COL_AXIS
+
+        assert targets, "preimage_batched_sharded requires targets"
+        widths = [t.ncol for t in targets]
+        combined = targets[0].concat_columns(targets[1:]) if len(targets) > 1 else targets[0]
+        combined = combined.to_eval()
+        if mesh is not None:
+            # shard only the batched column axis: requests are embarrassingly
+            # parallel; limbs stay replicated so small L never constrains the
+            # mesh shape
+            sharded = jax.device_put(
+                combined.data,
+                NamedSharding(mesh, PartitionSpec(None, None, COL_AXIS, None)),
+            )
+            from ..ring.poly import EVAL
+
+            combined = PolyMatrix(sharded, EVAL, params)
+            with mesh:
+                out = self.preimage(params, trapdoor, public_matrix, combined)
+        else:
+            out = self.preimage(params, trapdoor, public_matrix, combined)
+        outs = []
+        start = 0
+        for w in widths:
+            outs.append(out.slice_columns(start, start + w))
+            start += w
+        return outs
 
     def preimage_extend(
         self,

@@ -175,3 +175,21 @@ def test_preimage_perturbation_covariance_tables():
     # stay within the c^2 * |gram| envelope of s^2
     gram_bound = ts.c**2 * max(np.abs(a_c).max(), np.abs(b_c).max(), np.abs(d_c).max())
     assert np.all(np.abs(sqrt_var**2 - s * s) <= 2 * gram_bound + 1e-6)
+
+
+def test_preimage_batched_sharded_mesh():
+    """Batched preimages over the 8-device CPU mesh equal per-request calls
+    in relation (A x == U per request)."""
+    from mxx_tpu.parallel.mesh import make_mesh
+
+    params = RingParams.new(16, 2, 20, 5)
+    ts = TrapdoorSampler(params, SIGMA, seed=51)
+    td, a = ts.trapdoor(params, 1)
+    us = UniformSampler(seed=52)
+    targets = [us.sample_uniform(params, 1, w, FinRingDist()) for w in (3, 5, 4)]
+    mesh = make_mesh()
+    outs = ts.preimage_batched_sharded(params, td, a, targets, mesh=mesh)
+    assert len(outs) == 3
+    for t, x in zip(targets, outs):
+        assert x.ncol == t.ncol
+        assert (a @ x) == t
