@@ -100,3 +100,43 @@ def test_gsw_xor_and():
     assert ok, ("xor", info)
     ok, info = relation_holds(ctx, and_native, s, m1 & m2)
     assert ok, ("and", info)
+
+
+def test_gsw_slot_parallel_vec():
+    """SIMD GSW: one xor circuit evaluated over PolyVec wires runs an
+    independent GSW instance per slot (reference ring_gsw packed path,
+    ring_gsw.rs num_slots batching)."""
+    from mxx_tpu.circuit.poly_vec import PolyVec
+    from mxx_tpu.lookup.vec_eval import PolyVecPltEvaluator
+
+    params = RingParams.new(4, 1, 14, 1)
+    circuit = PolyCircuit()
+    ctx = RingGswContext(circuit, params, P_BITS)
+    rng = random.Random(9)
+    s = -1
+    # slot 0: xor(1, 0); slot 1: xor(1, 1)
+    cts_a = [native_encrypt(ctx, s, 1, rng), native_encrypt(ctx, s, 1, rng)]
+    cts_b = [native_encrypt(ctx, s, 0, rng), native_encrypt(ctx, s, 1, rng)]
+
+    w1 = RingGswCiphertext.input(ctx, circuit)
+    w2 = RingGswCiphertext.input(ctx, circuit)
+    out = w1.xor(w2, circuit)
+    circuit.output(out.flatten())
+
+    def packed_inputs(slot_cts):
+        per_slot = [encode_ciphertext_inputs(ctx, c) for c in slot_cts]
+        return [
+            PolyVec.new([per_slot[0][i], per_slot[1][i]])
+            for i in range(len(per_slot[0]))
+        ]
+
+    inputs = packed_inputs(cts_a) + packed_inputs(cts_b)
+    one = PolyVec.const(params, [1, 1])
+    results = circuit.eval(
+        params, one, inputs, plt_evaluator=PolyVecPltEvaluator()
+    )
+    for slot, want in ((0, 1), (1, 0)):
+        slot_res = [v.slots[slot] for v in results]
+        native_out, _ = decode_ciphertext_outputs(ctx, out, slot_res)
+        ok, info = relation_holds(ctx, native_out, s, want)
+        assert ok, (slot, info)
