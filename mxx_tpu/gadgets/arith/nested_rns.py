@@ -453,6 +453,120 @@ class NestedRnsPoly:
             trace_bounds=[ctx.p_max - 1] * len(active),
         )
 
+    def const_mul_per_level(self, consts: list[int], circuit: PolyCircuit
+                            ) -> "NestedRnsPoly":
+        """Multiply level i by its own small constant (needed by mod-switch:
+        the q_L^{-1} mod q_i factors differ per level)."""
+        assert len(consts) == self.levels
+        a = self
+        if any(v * c >= self.ctx.p_full for v, c in zip(a.value_bounds, consts)):
+            a = a.full_reduce(circuit)
+        if max(a.trace_bounds) * min(max(consts), self.ctx.p_max) >= min(
+            self.ctx.lut_mod_p_domain
+        ):
+            a = a.lazy_reduce(circuit)
+        wires = []
+        for lvl, c in zip(a.wires, consts):
+            out = []
+            for i, w in enumerate(lvl):
+                ci = c % self.ctx.p_moduli[i]
+                if ci == 0:
+                    out.append(circuit.const_zero_gate())
+                else:
+                    out.append(circuit.public_lookup_gate(
+                        circuit.small_scalar_mul(w, [ci]), self.ctx.lut_mod_p_ids[i]
+                    ))
+            wires.append(out)
+        return replace(
+            self,
+            wires=wires,
+            value_bounds=[v * c for v, c in zip(a.value_bounds, consts)],
+            trace_bounds=[self.ctx.p_max - 1] * self.levels,
+        )
+
+    def _level_as_value(self, lvl_idx: int, target_offset: int,
+                        target_levels: int) -> "NestedRnsPoly":
+        """Reinterpret one reduced level's p-slot wires as the SAME integer at
+        a different q-window: the p-RNS representation is level-agnostic (it
+        encodes an integer < P), so the wires are shared, only the window
+        metadata changes. Caller must have full_reduced first."""
+        bound = self.value_bounds[lvl_idx]
+        return replace(
+            self,
+            wires=[list(self.wires[lvl_idx]) for _ in range(target_levels)],
+            level_offset=target_offset,
+            enable_levels=target_levels,
+            value_bounds=[bound] * target_levels,
+            trace_bounds=[self.trace_bounds[lvl_idx]] * target_levels,
+        )
+
+    def mod_down_one_level(self, circuit: PolyCircuit, drop_first: bool = False
+                           ) -> "NestedRnsPoly":
+        """CKKS-style branchwise rescale: drop one q-level L (last by default,
+        first for relinearization P-removal) and output
+        (a_i - [a]_{q_L}) * q_L^{-1} mod q_i on the kept window
+        (reference mod_switch/nested_rns.rs mod_down_one_level)."""
+        from ...utils.numth import modinv
+
+        assert self.levels > 1, "mod_down needs at least two active levels"
+        a = self.full_reduce(circuit)
+        qs = self._active_moduli()
+        drop_idx = 0 if drop_first else self.levels - 1
+        q_drop = qs[drop_idx]
+        keep_offset = self.level_offset + (1 if drop_first else 0)
+        keep_levels = self.levels - 1
+        r = a._level_as_value(drop_idx, keep_offset, keep_levels)
+        kept = replace(
+            a,
+            wires=[lvl for i, lvl in enumerate(a.wires) if i != drop_idx],
+            level_offset=keep_offset,
+            enable_levels=keep_levels,
+            value_bounds=[v for i, v in enumerate(a.value_bounds) if i != drop_idx],
+            trace_bounds=[t for i, t in enumerate(a.trace_bounds) if i != drop_idx],
+        )
+        diff = kept.sub(r, circuit)
+        kept_qs = [q for i, q in enumerate(qs) if i != drop_idx]
+        invs = [modinv(q_drop % q_i, q_i) for q_i in kept_qs]
+        return diff.const_mul_per_level(invs, circuit)
+
+    def mod_up_front(self, circuit: PolyCircuit, extra: int) -> "NestedRnsPoly":
+        """HPS approximate base extension to `extra` additional q-levels in
+        front of the window: x_tilde = sum_i [x]_{q_i} (Q/q_i) [(Q/q_i)^{-1}]_{q_i}
+        = x + kappa Q, computed per new level j as sum_i r_i * c_ij
+        (reference mod_switch/nested_rns.rs mod_up)."""
+        from ...utils.numth import modinv
+
+        assert extra > 0
+        assert self.level_offset >= extra, "no q-levels available in front"
+        a = self.full_reduce(circuit)
+        qs = self._active_moduli()
+        q_prod = math.prod(qs)
+        new_offset = self.level_offset - extra
+        new_qs = self.ctx.q_moduli[new_offset : self.level_offset]
+        new_wires = []
+        new_vals = []
+        new_traces = []
+        for j, q_j in enumerate(new_qs):
+            acc = None
+            for i, q_i in enumerate(qs):
+                q_hat = q_prod // q_i
+                h_i = q_hat * modinv(q_hat % q_i, q_i)  # h_i = (Q/q_i)[(Q/q_i)^{-1}]_{q_i}
+                term = a._level_as_value(i, new_offset + j, 1).const_mul(
+                    h_i % q_j, circuit
+                )
+                acc = term if acc is None else acc.add(term, circuit)
+            new_wires.append(acc.wires[0])
+            new_vals.append(acc.value_bounds[0])
+            new_traces.append(acc.trace_bounds[0])
+        return replace(
+            a,
+            wires=new_wires + a.wires,
+            level_offset=new_offset,
+            enable_levels=extra + self.levels,
+            value_bounds=new_vals + a.value_bounds,
+            trace_bounds=new_traces + a.trace_bounds,
+        )
+
     # ------------------------------------------------------- reconstruction
 
     def reconstruct(self, circuit: PolyCircuit) -> int:

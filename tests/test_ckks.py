@@ -1,0 +1,103 @@
+"""In-circuit CKKS-style leveled arithmetic: homomorphic mul with
+ModUp/relinearize/ModDown, then rescale — decrypted against plain-int ground
+truth (reference gadgets/fhe/ckks.rs tests, scalar num_slots=1)."""
+
+import random
+
+import mxx_tpu  # noqa: F401
+
+from mxx_tpu.ring.params import RingParams
+from mxx_tpu.ring.poly import Poly
+from mxx_tpu.circuit import PolyCircuit
+from mxx_tpu.lookup import PolyPltEvaluator
+from mxx_tpu.gadgets.arith import encode_nested_rns_value, decode_nested_rns_outputs
+from mxx_tpu.gadgets.fhe.ckks import (
+    CKKSCiphertext,
+    CKKSContext,
+    decrypt,
+    encrypt,
+    sample_relinearization_eval_keys,
+)
+
+P_BITS = 8
+SCALE = 1 << 17
+
+
+def decode_ct(ctx, results, pos, offset, levels):
+    k = ctx.nested.k
+    out = []
+    for _ in range(2):
+        vals = []
+        for _ in range(levels):
+            vals.append([results[pos + i].const_coeff() for i in range(k)])
+            pos += k
+        out.append(decode_nested_rns_outputs(ctx.nested, vals, offset, levels))
+    return out[0], out[1], pos
+
+
+def test_ckks_mul_relinearize_rescale():
+    params = RingParams.new(16, 3, 20, 5)
+    circuit = PolyCircuit()
+    ctx = CKKSContext(circuit, params, P_BITS, max_unreduced_muls=2,
+                      scale=SCALE, relinearization_extra_levels=1)
+    rng = random.Random(71)
+    s = 2
+    m1, m2 = 3, 5
+    ct1_vals = encrypt(ctx, s, m1, rng)
+    ct2_vals = encrypt(ctx, s, m2, rng)
+    ek_vals = sample_relinearization_eval_keys(ctx, s, rng)
+
+    w1 = CKKSCiphertext.input(ctx, circuit)
+    w2 = CKKSCiphertext.input(ctx, circuit)
+    ek = CKKSCiphertext.alloc_eval_keys(ctx, circuit)
+    prod = w1.mul(w2, ek, circuit)
+    scaled_down = prod.rescale(circuit)
+    circuit.output(prod.flatten() + scaled_down.flatten())
+
+    inputs = []
+    for c0, c1 in (ct1_vals, ct2_vals):
+        for v, off, lv in ((c0, 1, 2), (c1, 1, 2)):
+            for row in encode_nested_rns_value(ctx.nested, v, off, lv):
+                inputs.extend(Poly.const(params, r) for r in row)
+    for v in ek_vals:
+        for row in encode_nested_rns_value(ctx.nested, v, 0, 3):
+            inputs.extend(Poly.const(params, r) for r in row)
+
+    results = circuit.eval(
+        params, Poly.one(params), inputs, plt_evaluator=PolyPltEvaluator()
+    )
+    pos = 0
+    c0p, c1p, pos = decode_ct(ctx, results, pos, 1, 2)
+    c0r, c1r, pos = decode_ct(ctx, results, pos, 1, 1)
+
+    got_prod = decrypt(ctx, s, c0p, c1p, 2, scale=SCALE * SCALE)
+    assert abs(got_prod - m1 * m2) < 0.1, got_prod
+
+    removed = ctx.nested.q_moduli[2]
+    got_rescaled = decrypt(ctx, s, c0r, c1r, 1, scale=SCALE * SCALE / removed)
+    assert abs(got_rescaled - m1 * m2) < 0.1, got_rescaled
+
+
+def test_ckks_add():
+    params = RingParams.new(16, 3, 20, 5)
+    circuit = PolyCircuit()
+    ctx = CKKSContext(circuit, params, P_BITS, max_unreduced_muls=2,
+                      scale=SCALE, relinearization_extra_levels=1)
+    rng = random.Random(72)
+    s = 1
+    ct1_vals = encrypt(ctx, s, 4, rng)
+    ct2_vals = encrypt(ctx, s, 7, rng)
+    w1 = CKKSCiphertext.input(ctx, circuit)
+    w2 = CKKSCiphertext.input(ctx, circuit)
+    out = w1.add(w2, circuit)
+    circuit.output(out.flatten())
+    inputs = []
+    for c0, c1 in (ct1_vals, ct2_vals):
+        for v in (c0, c1):
+            for row in encode_nested_rns_value(ctx.nested, v, 1, 2):
+                inputs.extend(Poly.const(params, r) for r in row)
+    results = circuit.eval(
+        params, Poly.one(params), inputs, plt_evaluator=PolyPltEvaluator()
+    )
+    c0, c1, _ = decode_ct(ctx, results, 0, 1, 2)
+    assert abs(decrypt(ctx, s, c0, c1, 2) - 11) < 1e-9

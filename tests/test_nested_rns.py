@@ -176,3 +176,72 @@ def test_nested_rns_gadget_decompose_identity():
         term_val = decode_nested_rns_outputs(ctx, vals)
         acc = (acc + term_val * g) % q
     assert acc == v % q
+
+
+def run_with_window(circuit, ctx, value, offset, levels, build):
+    """Input at a q-window; build(circuit, wire)->NestedRnsPoly; decode out."""
+    params = ctx.params
+    wire = NestedRnsPoly.input(ctx, circuit, offset, levels)
+    out = build(circuit, wire)
+    circuit.output(out.flatten())
+    plain_inputs = [
+        Poly.const(params, r)
+        for row in encode_nested_rns_value(ctx, value, offset, levels)
+        for r in row
+    ]
+    results = circuit.eval(
+        params, Poly.one(params), plain_inputs, plt_evaluator=PolyPltEvaluator()
+    )
+    vals = []
+    pos = 0
+    for _ in range(out.levels):
+        vals.append([results[pos + i].const_coeff() for i in range(ctx.k)])
+        pos += ctx.k
+    return decode_nested_rns_outputs(ctx, vals, out.level_offset, out.levels)
+
+
+def test_nested_rns_mod_down_one_level():
+    params = RingParams.new(16, 4, 28, 7)
+    circuit, ctx = setup(params)
+    qs = ctx.q_moduli
+    assert ctx.q_moduli_depth >= 3
+    x = 123456789 % (qs[0] * qs[1] * qs[2])
+    got = run_with_window(
+        circuit, ctx, x, 0, 3, lambda c, w: w.mod_down_one_level(c)
+    )
+    keep_q = qs[0] * qs[1]
+    want = (x - x % qs[2]) // qs[2]
+    # full_reduce leaves [x]_{q_2} with slack e*q_2, e <= max_plaintext/q_2
+    # (the reference's mod_down_one_level_reconstruct_error_upper_bound)
+    slack = ctx.full_reduce_max_plaintexts[2] // qs[2] + 1
+    diff = (got - want) % keep_q
+    diff = min(diff, keep_q - diff)
+    assert diff <= slack, (got, want, slack)
+
+
+def test_nested_rns_mod_down_first_level():
+    params = RingParams.new(16, 4, 28, 7)
+    circuit, ctx = setup(params)
+    qs = ctx.q_moduli
+    x = 987654321 % (qs[0] * qs[1])
+    got = run_with_window(
+        circuit, ctx, x, 0, 2, lambda c, w: w.mod_down_one_level(c, drop_first=True)
+    )
+    want = (x - x % qs[0]) // qs[0]
+    slack = ctx.full_reduce_max_plaintexts[0] // qs[0] + 1
+    diff = (got - want) % qs[1]
+    diff = min(diff, qs[1] - diff)
+    assert diff <= slack, (got, want, slack)
+
+
+def test_nested_rns_mod_up_front():
+    params = RingParams.new(16, 4, 28, 7)
+    circuit, ctx = setup(params)
+    qs = ctx.q_moduli
+    window_q = qs[1] * qs[2]
+    x = 55555555 % window_q
+    got = run_with_window(
+        circuit, ctx, x, 1, 2, lambda c, w: w.mod_up_front(c, 1)
+    )
+    # x_tilde == x (mod the original window); the lift only adds kappa*Q_w
+    assert got % window_q == x % window_q, (got, x)
