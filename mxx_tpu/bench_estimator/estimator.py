@@ -113,3 +113,46 @@ def measure_bgg_encoding_costs(params, d: int = 1, iterations: int = 3,
     if lut_cost is not None:
         costs[PUB_LUT] = lut_cost
     return GateCostModel(costs, default_cost=costs[MUL])
+
+
+def measure_bgg_poly_encoding_costs(params, num_slots: int = 2, iterations: int = 3,
+                                    lut_cost: float | None = None) -> GateCostModel:
+    """Packed slot-wise encoding cost model: slot ops are single batched
+    matmuls over the stacked rows (reference
+    bench_estimator/bgg_poly_encoding.rs)."""
+    from ..bgg import BGGPublicKeySampler
+    from ..bgg.poly_encoding import BGGPolyEncodingSampler
+    from ..ring.poly import Poly
+    from ..sampler import TernaryDist, UniformSampler
+
+    us = UniformSampler(seed=3)
+    secrets = [us.sample_poly(params, TernaryDist())]
+    pk = BGGPublicKeySampler(bytes(32), 1).sample(params, b"bench", [True, True])
+    sampler = BGGPolyEncodingSampler(params, secrets, num_slots, None, seed=4)
+    pts = [[Poly.const(params, v) for v in range(num_slots)]] * 2
+    encs = sampler.sample(params, pk, pts)
+    e1, e2 = encs[1], encs[2]
+    costs = {
+        ADD: benchmark_gate_operation(
+            iterations, lambda: (e1 + e2).vectors.data.block_until_ready()
+        ),
+        MUL: benchmark_gate_operation(
+            iterations, lambda: (e1 * e2).vectors.data.block_until_ready()
+        ),
+    }
+    costs[SUB] = costs[ADD]
+    costs[SMALL_SCALAR_MUL] = costs[ADD]
+    costs[LARGE_SCALAR_MUL] = costs[MUL]
+    if lut_cost is not None:
+        costs[PUB_LUT] = lut_cost
+    return GateCostModel(costs, default_cost=costs[MUL])
+
+
+def measure_naive_vec_costs(params, num_slots: int = 2, iterations: int = 3,
+                            lut_cost: float | None = None) -> GateCostModel:
+    """Vector-of-scalar-wires cost model: slot ops run per slot (reference
+    bench_estimator/naive_vec.rs); costs scale the scalar encoding model by
+    the slot count."""
+    scalar = measure_bgg_encoding_costs(params, 1, iterations, lut_cost)
+    costs = {k: v * num_slots for k, v in scalar.costs.items()}
+    return GateCostModel(costs, default_cost=scalar.default_cost * num_slots)

@@ -316,10 +316,13 @@ class TrapdoorSampler:
         base_bits = params.base_bits
         dpt = params.digits_per_tower
 
+        base_key = self._key
+
         @jax.jit
-        def core(target_data, r_data, e_data, pub_data, sqrt_var, upd, key):
+        def core(target_data, r_data, e_data, pub_data, sqrt_var, upd, ctr):
             from ..ring.poly import COEFF, EVAL
 
+            key = jax.random.fold_in(base_key, ctr)
             kp2, kp1, kg = jax.random.split(key, 3)
             cols = target_data.shape[2]
             target = PolyMatrix(target_data, EVAL, params)
@@ -377,16 +380,25 @@ class TrapdoorSampler:
         # perturbation: spherical p2 on the gadget block, covariance-corrected
         # p1 on the [I | R;E] block (sample_pert_square_mat, gpu.rs:423-474),
         # then the randomized G-lattice coset sample — one fused program.
-        sqrt_var, upd = self._p1_tables(params, trapdoor, s)
+        # Operand conversions and the LDL tables are cached device-resident so
+        # a steady-state call is a single remote dispatch (tunnel RTT is the
+        # per-program cost on axon).
+        ops_id = ("ops", id(trapdoor), id(public_matrix))
+        if ops_id not in self._p1_cache:
+            sqrt_var, upd = self._p1_tables(params, trapdoor, s)
+            self._p1_cache[ops_id] = (
+                trapdoor.r.to_coeff().data,
+                trapdoor.e.to_coeff().data,
+                public_matrix.to_eval().data,
+                jnp.asarray(sqrt_var),
+                jnp.asarray(upd),
+            )
+        r_data, e_data, pub_data, sqrt_var_j, upd_j = self._p1_cache[ops_id]
         core = self._preimage_core(params, trapdoor, public_matrix, d)
+        self._ctr += 1
         data = core(
-            target.to_eval().data,
-            trapdoor.r.to_coeff().data,
-            trapdoor.e.to_coeff().data,
-            public_matrix.to_eval().data,
-            jnp.asarray(sqrt_var),
-            jnp.asarray(upd),
-            self._next_key(),
+            target.to_eval().data, r_data, e_data, pub_data,
+            sqrt_var_j, upd_j, jnp.uint32(self._ctr),
         )
         return PolyMatrix(data, EVAL, params)
 

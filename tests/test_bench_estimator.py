@@ -73,3 +73,18 @@ def test_noise_refresh_helpers():
     ctx = SimulatorContext(Decimal(64).sqrt(), Decimal(2), 1, 40, 40)
     bound = simulate_noise_refresh_error_growth(ctx, Decimal(2) ** 30, 8, 2, 4, 40)
     assert bound < Decimal(2) ** 35
+
+
+def test_per_wire_type_cost_models():
+    from mxx_tpu.bench_estimator import (
+        measure_bgg_poly_encoding_costs,
+        measure_naive_vec_costs,
+    )
+
+    params = RingParams.new(16, 2, 20, 5)
+    packed = measure_bgg_poly_encoding_costs(params, num_slots=2, iterations=2)
+    assert packed.cost("Mul") > 0
+    vec = measure_naive_vec_costs(params, num_slots=3, iterations=2)
+    scalar = measure_poly_costs(params, iterations=2)
+    assert vec.cost("Add") > 0 and vec.default_cost > 0
+    assert scalar.cost("Add") > 0
