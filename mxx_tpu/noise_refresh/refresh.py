@@ -20,6 +20,7 @@ vector wires is next-round work.
 
 from __future__ import annotations
 
+import math
 from decimal import Decimal
 
 from ..simulator import PolyMatrixNorm, SimulatorContext
@@ -101,7 +102,7 @@ class DiamondNoiseRefresher(NoiseRefresher):
     """
 
     def __init__(self, params, trap_sampler, b0, td0, hash_key: bytes, k_int: int,
-                 v_bits: int, base_bits: int = 8):
+                 v_bits: int, base_bits: int = 8, value_bits: int | None = None):
         from ..utils.numth import modinv
 
         assert k_int in (-1, 1), "payload k must be invertible"
@@ -113,8 +114,13 @@ class DiamondNoiseRefresher(NoiseRefresher):
         self.k_inv = modinv(k_int % params.modulus, params.modulus)
         self.v_bits = v_bits
         self.digit_base_bits = base_bits
-        q_bits = params.modulus_bits
+        # value_bits < modulus_bits refreshes a sub-range value (e.g. one CRT
+        # residue in the NaiveVec per-level pipeline): the rounding grid then
+        # covers [0, 2^value_bits) with v_bits precision.
+        q_bits = value_bits if value_bits is not None else params.modulus_bits
+        assert q_bits > v_bits
         self.delta = 1 << (q_bits - v_bits)
+        self.value_range = 1 << q_bits
         self.num_digits = -(-v_bits // base_bits) + 1
 
     def _hash_pk(self, tag: str):
@@ -146,7 +152,7 @@ class DiamondNoiseRefresher(NoiseRefresher):
         params = self.params
         rng = rng or random.Random(0)
         q = params.modulus
-        m_val = self.delta * rng.randrange(q // self.delta)
+        m_val = self.delta * rng.randrange(self.value_range // self.delta)
         a_m = self._hash_pk(f"nr_mask_{refresh_id.hex()}")
         digit_pks = [
             self._hash_pk(f"nr_digit_{refresh_id.hex()}_{j}") for j in range(self.num_digits)
@@ -171,8 +177,10 @@ class DiamondNoiseRefresher(NoiseRefresher):
         }
         return material
 
-    def online_eval(self, refresh_id: bytes, state0, c_enc, material):
-        """Refresh the absolute-channel encoding `c_enc` (pubkey A_c)."""
+    def online_decode_round(self, state0, c_enc, material) -> int:
+        """Decode the masked wire and round to the Delta grid; returns the
+        rounded digit integer w (split out so vector pipelines can reuse
+        it)."""
         from ..bgg import BggEncoding, BggPublicKey
         from ..matrix import PolyMatrix
 
@@ -186,17 +194,32 @@ class DiamondNoiseRefresher(NoiseRefresher):
         proj = state0 @ material["p_decoder"]
         noisy = proj - c_masked.vector.mul_decompose(sel)
         y = noisy.entry(0, 0).coeffs()[0]
-        # x + m may have wrapped mod q, shifting the Delta grid by -q; round
-        # against both wrap branches and take the nearer grid point.
+        # value + mask may wrap mod q in either direction (positive overflow,
+        # or a negative decode error pushing y to ~q): round against all three
+        # wrap branches and take the branch whose grid point is nearest AND
+        # lands inside the value range.
         best = None
-        for t in (0, 1):
+        for t in (-1, 0, 1):
             v = y + t * q
             w_t = (v + self.delta // 2) // self.delta
+            if not (0 <= w_t * self.delta <= 2 * self.value_range):
+                continue
             err = abs(v - self.delta * w_t)
             if best is None or err < best[0]:
                 best = (err, w_t)
-        w = best[1]
+        assert best is not None, "decode far outside the value range"
+        return best[1]
+
+    def rebuild_from_digits(self, state0, w: int, material):
+        """Fresh encoding of Delta*w - m from the stored digit preimages."""
+        from ..bgg import BggEncoding, BggPublicKey
+
+        params = self.params
         base = 1 << self.digit_base_bits
+        assert 0 <= w < base ** self.num_digits, (
+            f"rounded digit {w} outside the grid: the input error exceeded "
+            "the pre-rounding bound (see pre_rounding_bound_holds)"
+        )
         acc = None
         for j in range(self.num_digits):
             d_j = (w >> (self.digit_base_bits * j)) & (base - 1)
@@ -207,4 +230,80 @@ class DiamondNoiseRefresher(NoiseRefresher):
             )
             term = e_j.small_scalar_mul(params, [d_j])
             acc = term if acc is None else acc + term
+        e_m = BggEncoding(
+            state0 @ material["p_mask"], BggPublicKey(material["a_m"], False), None
+        )
         return acc - e_m
+
+    def online_eval(self, refresh_id: bytes, state0, c_enc, material):
+        """Refresh the absolute-channel encoding `c_enc` (pubkey A_c): decode
+        the masked wire, round to the Delta grid (killing the input error),
+        rebuild from the stored digit preimages."""
+        w = self.online_decode_round(state0, c_enc, material)
+        return self.rebuild_from_digits(state0, w, material)
+
+
+def twisted_residues(x: int, moduli: list[int]) -> list[int]:
+    """y_i = [x * (Q/q_i)^{-1}]_{q_i}: the CRT-twisted residues satisfying
+    x == sum_i y_i * (Q/q_i)  (mod Q) exactly — the per-level values the
+    NaiveVec refresher carries (reference naive_vec.rs decoded refresh term
+    ordering + crt_recompose_rows with reconst_coeffs)."""
+    from ..utils.numth import modinv
+
+    q_full = math.prod(moduli)
+    return [
+        (x % q_i) * modinv((q_full // q_i) % q_i, q_i) % q_i for q_i in moduli
+    ]
+
+
+class NoiseRefresherNaiveVec(NoiseRefresher):
+    """CRT-level-split refresher over vector wires (reference
+    noise_refresh/naive_vec.rs:437+): slot i carries the absolute-channel
+    encoding of the twisted residue y_i = [x (Q/q_i)^{-1}]_{q_i}; every level
+    refreshes independently on its own 2^ceil(log2 q_i) / 2^v_bits rounding
+    grid (decoder artifacts ordered slot_idx * crt_depth + crt_idx), and the
+    refreshed wires recompose into ONE fresh encoding of
+    x_hat = sum_i y_hat_i (Q/q_i) = x + sum_i r_i (Q/q_i) (mod Q), with the
+    per-level rounding residuals |r_i| <= Delta_i/2 — the q/2^v relative
+    error the reference's simulation bounds (simulation.rs:127+)."""
+
+    def __init__(self, params, trap_sampler, b0, td0, hash_key: bytes, k_int: int,
+                 v_bits: int, base_bits: int = 8):
+        self.params = params
+        self.moduli = list(params.moduli)
+        self.levels = [
+            DiamondNoiseRefresher(
+                params, trap_sampler, b0, td0,
+                hash_key + bytes([i]), k_int, v_bits, base_bits,
+                value_bits=q_i.bit_length(),
+            )
+            for i, q_i in enumerate(self.moduli)
+        ]
+
+    def encode_values(self, x: int) -> list[int]:
+        return twisted_residues(x, self.moduli)
+
+    def preprocess(self, refresh_id: bytes, a_c_list, rng=None):
+        assert len(a_c_list) == len(self.levels)
+        return [
+            lvl.preprocess(refresh_id + bytes([i]), a_c, rng)
+            for i, (lvl, a_c) in enumerate(zip(self.levels, a_c_list))
+        ]
+
+    def online_eval(self, refresh_id: bytes, state0, enc_list, materials):
+        """Refresh every level wire and recompose. Returns
+        (refreshed_levels, recomposed_encoding, x_hat)."""
+        q = self.params.modulus
+        refreshed = []
+        x_hat = 0
+        acc = None
+        for lvl, enc, material, q_i in zip(self.levels, enc_list, materials, self.moduli):
+            w = lvl.online_decode_round(state0, enc, material)
+            fresh = lvl.rebuild_from_digits(state0, w, material)
+            refreshed.append(fresh)
+            y_hat = lvl.delta * w - material["mask_value"]
+            coeff = q // q_i  # integer: product of the other moduli
+            x_hat = (x_hat + y_hat * coeff) % q
+            term = fresh.large_scalar_mul(self.params, [coeff])
+            acc = term if acc is None else acc + term
+        return refreshed, acc, x_hat
