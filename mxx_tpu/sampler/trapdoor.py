@@ -133,13 +133,14 @@ def _centered_lift_f64(mat: PolyMatrix) -> jnp.ndarray:
 def _matrix_from_signed(params: RingParams, vals: jnp.ndarray) -> PolyMatrix:
     """Small signed integer coefficients [r, c, n] -> PolyMatrix (COEFF), the
     value reduced into every CRT tower (CUDA scatter signed_mod_i64,
-    MatrixTrapdoor.cu:890-896). int32 remainder keeps the reduction on native
-    TPU integer units."""
+    MatrixTrapdoor.cu:890-896). Each tower modulus is baked in as a
+    compile-time scalar so XLA strength-reduces the remainder to
+    mulhi+shift instead of generic (float-emulated) integer division."""
     from ..ring.poly import COEFF
 
-    q = params.jt.moduli.astype(jnp.int32)[:, None, None, None]
-    data = (vals.astype(jnp.int32)[None] % q).astype(jnp.uint32)
-    return PolyMatrix(data, COEFF, params)
+    vals32 = vals.astype(jnp.int32)
+    planes = [(vals32 % q).astype(jnp.uint32) for q in params.moduli]
+    return PolyMatrix(jnp.stack(planes), COEFF, params)
 
 
 @partial(jax.jit, static_argnames=("base_bits", "dpt", "moduli", "sigma", "c"))
@@ -160,14 +161,17 @@ def _gauss_samp_gq(coeff_data, key, *, base_bits: int, dpt: int,
     # well inside f32-exact-integer / int32 range (digits ~ 30 b, z ~ b sigma),
     # and TPU f64/i64 emulation is ~10x slower. The dpt==1 edge (base >= tower
     # width, tiny test params) keeps the wide types.
+    # one batched draw for every tower's perturbation + rounding normals
+    # (20 per-tower threefry calls fuse poorly; one [2, L, dpt, ...] draw
+    # vectorizes the generator)
+    all_normals = jax.random.normal(key, (2, L, dpt) + shape, dtype=jnp.float32)
     tower_digits = []  # [L][dpt] arrays of int32 digits
     for t in range(L):
         qt = int(moduli[t])
-        kt = jax.random.fold_in(key, t)
         v = coeff_data[t]
         if dpt == 1:
             # Lambda^perp(g=(1)) mod q_t is q_t Z: sample the coset directly.
-            gn = jax.random.normal(kt, shape, dtype=jnp.float64)
+            gn = all_normals[0, t, 0].astype(jnp.float64)
             vf = v.astype(jnp.float64)
             z = jnp.rint(-vf / qt + (c / qt) * gn)
             tower_digits.append([(vf + qt * z).astype(jnp.int32)])
@@ -186,14 +190,13 @@ def _gauss_samp_gq(coeff_data, key, *, base_bits: int, dpt: int,
         c_vec = [m_digits[0] / bf]
         for i in range(1, dpt):
             c_vec.append((c_vec[i - 1] + m_digits[i]) / bf)
-        k1, k2 = jax.random.split(kt)
-        zf = jnp.float32(sigma) * jax.random.normal(k1, (dpt,) + shape, dtype=jnp.float32)
+        zf = jnp.float32(sigma) * all_normals[0, t]
         p = [l[i] * zf[i] + h[i + 1] * zf[i + 1] for i in range(dpt - 1)]
         p.append(h[dpt - 1] * zf[dpt - 1])
         a = [(v_digits[0] - p[0]) / bf]
         for i in range(1, dpt):
             a.append((a[i - 1] + v_digits[i] - p[i]) / bf)
-        gn = jax.random.normal(k2, (dpt,) + shape, dtype=jnp.float32)
+        gn = all_normals[1, t]
         last = dpt - 1
         z_last = jnp.rint(-a[last] / c_vec[last] + (sigma / c_vec[last]) * gn[last])
         a = [a[i] + z_last * c_vec[i] for i in range(dpt)]
@@ -252,19 +255,25 @@ def _p1_ldl_tables(cov: np.ndarray, fallback_var: float):
 def _sample_p1_ints(tp2c, sqrt_var, upd, c_scale, key):
     """Conditional integer Gaussian for p1: mean c_scale * [R;E] p2, then the
     sequential (within-slot) chain t = m-1 .. 0
-    (MatrixTrapdoor.cu:200-277)."""
+    (MatrixTrapdoor.cu:200-277).
+
+    f32 is sufficient: the mean c_scale * tp2c is ~s-scale (< 2^24), so f32
+    roundoff is ~1e-2 against sigma ~ 4.6, and the rounded integers are
+    f32-exact; TPU f64 is emulated ~20x slower."""
     m = tp2c.shape[0]
-    mean = c_scale * tp2c  # [m, cols, n]
-    normals = jax.random.normal(key, tp2c.shape, dtype=jnp.float64)
+    mean = jnp.float32(c_scale) * tp2c.astype(jnp.float32)  # [m, cols, n]
+    sqrt_var32 = sqrt_var.astype(jnp.float32)
+    upd32 = upd.astype(jnp.float32)
+    normals = jax.random.normal(key, tp2c.shape, dtype=jnp.float32)
     zs = [None] * m
     for t in range(m - 1, -1, -1):
-        z = jnp.rint(mean[t] + sqrt_var[:, t][None, :] * normals[t])
+        z = jnp.rint(mean[t] + sqrt_var32[:, t][None, :] * normals[t])
         zs[t] = z
         if t:
             delta = (z - mean[t])[None]  # [1, cols, n]
-            upd_t = jnp.transpose(upd[:, t, :t])[:, None, :]  # [t, 1, n]
+            upd_t = jnp.transpose(upd32[:, t, :t])[:, None, :]  # [t, 1, n]
             mean = mean.at[:t].add(upd_t * delta)
-    return jnp.stack(zs).astype(jnp.int64)
+    return jnp.stack(zs).astype(jnp.int32)
 
 
 class TrapdoorSampler:
@@ -329,9 +338,12 @@ class TrapdoorSampler:
             r_mat = PolyMatrix(r_data, COEFF, params)
             e_mat = PolyMatrix(e_data, COEFF, params)
             pub = PolyMatrix(pub_data, EVAL, params)
-            # p2 ~ rounded normal at sigma_large (Peikert branch, sigma > 300)
+            # p2 ~ rounded normal at sigma_large (Peikert branch, sigma > 300).
+            # f32 rint above 2^24 coarsens support to multiples of 2^(e-24) —
+            # still exact integers (lattice identity preserved), relative
+            # granularity ~1e-7 of sigma_large: statistically negligible.
             gn = jax.random.normal(kp2, (d * k, cols, params.n), dtype=jnp.float32)
-            p2_int = jnp.rint(gn.astype(jnp.float64) * sigma_large)
+            p2_int = jnp.rint(gn * jnp.float32(sigma_large))
             p2 = _matrix_from_signed(params, p2_int)
             tp2c = _centered_lift_f64(r_mat.concat_rows([e_mat]) @ p2)
             p1i = _sample_p1_ints(tp2c, sqrt_var, upd, c_scale, kp1)
