@@ -26,8 +26,8 @@ CUDA_BASELINE_NTT_PER_S = 4.0e5
 
 N = 1 << 13
 L = 8
-BATCH = 32
-ITERS = 20
+BATCH = 512
+ITERS = 10
 
 
 def main():
@@ -40,12 +40,17 @@ def main():
     x = jnp.asarray(x)
 
     fn = jax.jit(lambda v: ntt_fwd(v, jt.psi_rev_mont, jt.moduli, jt.qinv_neg))
-    # warmup / compile
-    fn(x).block_until_ready()
+    # warmup / compile; fetch a probe element — on the tunneled runtime
+    # block_until_ready acks without waiting, so only a host fetch proves the
+    # computation ran (measured: a 3.5 GB op "completes" in 0.3 ms without a
+    # fetch)
+    y = fn(x)
+    np.asarray(y[0, 0, :1])
     t0 = time.perf_counter()
+    y = x
     for _ in range(ITERS):
-        y = fn(x)
-    y.block_until_ready()
+        y = fn(y)  # chained so no iteration can be elided
+    np.asarray(y[0, 0, :1])
     elapsed = time.perf_counter() - t0
     transforms = L * BATCH * ITERS
     rate = transforms / elapsed

@@ -26,6 +26,12 @@ from mxx_tpu.matrix import PolyMatrix
 from mxx_tpu.sampler import FinRingDist, TrapdoorSampler, UniformSampler
 
 
+def probe(arr):
+    """Force remote completion: block_until_ready acks without executing on
+    the tunneled runtime; only a host fetch proves the computation ran."""
+    np.asarray(arr.ravel()[:1])
+
+
 def emit(metric, value, unit, vs=None):
     print(json.dumps({"metric": metric, "value": round(value, 4), "unit": unit,
                       "vs_baseline": vs}), flush=True)
@@ -41,25 +47,25 @@ def bench_ntt():
                   for q in params.moduli])
     )
     f = jax.jit(lambda v: ntt_fwd(v, jt.psi_rev_mont, jt.moduli, jt.qinv_neg))
-    f(x).block_until_ready()
+    probe(f(x))
     t0 = time.perf_counter()
+    y = x
     for _ in range(IT):
-        y = f(x)
-    y.block_until_ready()
+        y = f(y)  # chained so no iteration can be elided
+    probe(y)
     emit(f"ntt_limb_transforms_per_s_n{N}_L{L}", L * B * IT / (time.perf_counter() - t0),
          "limb-NTTs/s", None)
 
 
-def bench_matmul(n=16384, L=15, crt_bits=24, base_bits=12, r=1, k=30, c=120, iters=3):
+def bench_matmul(n=16384, L=10, crt_bits=24, base_bits=12, r=1, k=30, c=120, iters=3):
     params = RingParams.new(n, L, crt_bits, base_bits)
     us = UniformSampler(seed=1)
     a = us.sample_uniform(params, r, k, FinRingDist()).to_eval()
     b = us.sample_uniform(params, k, c, FinRingDist()).to_eval()
-    (a @ b).data.block_until_ready()
+    probe((a @ b).data)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = a @ b
-    out.data.block_until_ready()
+        probe((a @ b).data)
     el = (time.perf_counter() - t0) / iters
     emit(f"poly_matmul_{r}x{k}x{c}_n{n}_L{L}_wall_s", el, "s/op", None)
 
@@ -69,11 +75,10 @@ def bench_preimage(n=16384, L=10, crt_bits=24, base_bits=12, cols=50, iters=2):
     ts = TrapdoorSampler(params, 4.578, seed=2)
     td, a = ts.trapdoor(params, 1)
     target = UniformSampler(seed=3).sample_uniform(params, 1, cols, FinRingDist())
-    ts.preimage(params, td, a, target).data.block_until_ready()
+    probe(ts.preimage(params, td, a, target).data)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = ts.preimage(params, td, a, target)
-    out.data.block_until_ready()
+        probe(ts.preimage(params, td, a, target).data)
     el = (time.perf_counter() - t0) / iters
     emit(f"trapdoor_preimage_d1_cols{cols}_n{n}_L{L}_wall_s", el, "s/op", None)
     emit("preimage_samples_per_s", cols / el, "preimages/s", None)
