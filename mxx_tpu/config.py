@@ -46,3 +46,22 @@ def lut_bytes_limit() -> int:
 
 def diamond_io_eval_relation_asserts() -> bool:
     return os.environ.get("MXX_DIAMOND_IO_EVAL_RELATION_ASSERTS", "") == "1"
+
+
+def bgg_poly_encoding_slot_parallelism() -> int:
+    """Slots evaluated concurrently for packed encodings (reference env.rs
+    BGG_POLY_ENCODING_SLOT_PARALLELISM; informational here — packed slot ops
+    are single batched matmuls on TPU)."""
+    return _env_int("BGG_POLY_ENCODING_SLOT_PARALLELISM", 8)
+
+
+def slot_transfer_slot_parallelism() -> int:
+    """Slots preprocessed concurrently in slot-transfer aux sampling
+    (reference env.rs SLOT_TRANSFER_SLOT_PARALLELISM)."""
+    return _env_int("SLOT_TRANSFER_SLOT_PARALLELISM", 8)
+
+
+def lut_index_sync_every() -> int:
+    """Flush the storage JSON index every N buffer writes (reference env.rs
+    LUT_INDEX_SYNC_EVERY)."""
+    return _env_int("LUT_INDEX_SYNC_EVERY", 64)

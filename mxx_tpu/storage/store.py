@@ -96,11 +96,21 @@ class StorageSystem:
         self._add_one(buffer)
 
     def _add_one(self, buffer: BatchLookupBuffer):
+        from .. import config
+
         with self._index_lock:
             entry = self._index.setdefault(buffer.id_prefix, {"parts": 0, "indices": []})
             part = entry["parts"]
             entry["parts"] += 1
             entry["indices"] = sorted(set(entry["indices"]) | {i for i, _ in buffer.payloads})
+            self._writes_since_sync = getattr(self, "_writes_since_sync", 0) + 1
+            sync_due = self._writes_since_sync >= config.lut_index_sync_every()
+            if sync_due:
+                self._writes_since_sync = 0
+        if sync_due:
+            # periodic index flush so long offline passes are resumable even
+            # without a final wait_for_all_writes (reference LUT_INDEX_SYNC_EVERY)
+            self._flush_index()
         path = self._batch_file(buffer.id_prefix, part)
 
         from ..native.writer import submit_write, writer_available
