@@ -114,3 +114,27 @@ def test_params_modulus_and_idempotents():
     v = 12345678
     residues = [v % q for q in params.moduli]
     assert params.reconstruct_coeff(residues) == v % params.modulus
+
+
+def test_four_step_ntt_matches_radix_chain():
+    """Experimental MXU four-step forward NTT lands bit-exactly on the
+    radix-chain EVAL output (ops/four_step_ntt.py)."""
+    import numpy as np
+
+    from mxx_tpu.ops.four_step_ntt import four_step_ntt_fwd
+    from mxx_tpu.ring.ntt import ntt_fwd
+
+    for n, n1 in ((64, 8), (256, 16), (4096, 64)):
+        params = RingParams.new(n, 3, 28, 14)
+        jt = params.jt
+        rng = np.random.default_rng(5)
+        x = np.stack(
+            [rng.integers(0, q, (4, n), dtype=np.uint64).astype(np.uint32)
+             for q in params.moduli]
+        )
+        import jax.numpy as jnp
+
+        xj = jnp.asarray(x)
+        want = ntt_fwd(xj, jt.psi_rev_mont, jt.moduli, jt.qinv_neg)
+        got = four_step_ntt_fwd(xj, params=params, n1=n1)
+        assert np.array_equal(np.asarray(got), np.asarray(want)), (n, n1)
