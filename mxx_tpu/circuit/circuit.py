@@ -65,6 +65,48 @@ class SummedSubCircuitCall:
     output_gate_ids: list[int] = field(default_factory=list)
 
 
+class BatchedWire:
+    """A contiguous gate-id range returned by `input(n)` (reference
+    poly_circuit/mod.rs:38-137). Behaves as a list of gate ids, plus the
+    reference's `.at(i)` / `.as_single_wire()` idioms."""
+
+    __slots__ = ("start", "count")
+
+    def __init__(self, start: int, count: int):
+        self.start = start
+        self.count = count
+
+    def __len__(self) -> int:
+        return self.count
+
+    def __iter__(self):
+        return iter(range(self.start, self.start + self.count))
+
+    def __getitem__(self, idx):
+        ids = list(range(self.start, self.start + self.count))
+        return ids[idx]
+
+    def __add__(self, other):
+        return list(self) + list(other)
+
+    def __radd__(self, other):
+        return list(other) + list(self)
+
+    def __eq__(self, other):
+        return list(self) == list(other)
+
+    def at(self, idx: int) -> "BatchedWire":
+        assert 0 <= idx < self.count
+        return BatchedWire(self.start + idx, 1)
+
+    def as_single_wire(self) -> int:
+        assert self.count == 1, "as_single_wire requires a 1-wide range"
+        return self.start
+
+    def __repr__(self):
+        return f"BatchedWire({self.start}..{self.start + self.count})"
+
+
 @dataclass
 class PolyCircuit:
     """Gate 0 is the reserved constant-one input wire (reference
@@ -89,13 +131,13 @@ class PolyCircuit:
         self.gates.append(Gate(gid, kind, tuple(inputs), payload))
         return gid
 
-    def input(self, num_input: int) -> list[int]:
+    def input(self, num_input: int) -> "BatchedWire":
         assert all(g.kind == INPUT for g in self.gates), "inputs must be created first"
         start = len(self.gates)
         for _ in range(num_input):
             self._new_gate(INPUT, [])
         self.num_input += num_input
-        return list(range(start, start + num_input))
+        return BatchedWire(start, num_input)
 
     def num_gates(self) -> int:
         return len(self.gates)

@@ -299,10 +299,15 @@ class JaxTables:
 
     def _get(self, name):
         if name not in self._cache:
+            import jax
             import jax.numpy as jnp
 
             np_val = getattr(self._p, "np_" + name)
-            self._cache[name] = jnp.asarray(np_val)
+            # force a concrete device array even if first touched inside a
+            # jit trace — otherwise the cache would capture a Tracer and
+            # poison every later use (UnexpectedTracerError)
+            with jax.ensure_compile_time_eval():
+                self._cache[name] = jnp.asarray(np_val)
         return self._cache[name]
 
     @property
