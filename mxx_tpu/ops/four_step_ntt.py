@@ -17,9 +17,11 @@ The two matrix multiplies ride the MXU through the same balanced int8-digit
 planes as ops/zq_matmul.py (exact for contraction <= 32768; here n1, n2 <=
 a few hundred), so total HBM traffic is ~4 passes instead of ~14.
 
-Status: forward transform, validated against ring/ntt.ntt_fwd; the inverse
-and production wiring (making this the default above a size threshold) are
-round-2 work.
+Status: forward transform, validated bit-exact against ring/ntt.ntt_fwd on
+TPU — but measured 3x SLOWER than the radix chain at n=8192/batch 512 (the
+int8 recombination traffic outweighs the saved passes; BENCHMARKS.md). Kept
+as the scaffold for a Pallas-fused recombine in round 2; not wired into any
+production path.
 """
 
 from __future__ import annotations
