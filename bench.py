@@ -18,6 +18,7 @@ sys.path.insert(0, ".")
 import mxx_tpu  # noqa: F401
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from mxx_tpu.ring.params import RingParams
 from mxx_tpu.ring.ntt import ntt_fwd
@@ -39,17 +40,21 @@ def main():
         x[t] = rng.integers(0, q, size=(BATCH, N), dtype=np.uint64).astype(np.uint32)
     x = jnp.asarray(x)
 
-    fn = jax.jit(lambda v: ntt_fwd(v, jt.psi_rev_mont, jt.moduli, jt.qinv_neg))
-    # warmup / compile; fetch a probe element — on the tunneled runtime
-    # block_until_ready acks without waiting, so only a host fetch proves the
-    # computation ran (measured: a 3.5 GB op "completes" in 0.3 ms without a
-    # fetch)
+    # ITERS chained transforms inside ONE program (fori_loop), then fetch a
+    # probe element — on the tunneled runtime block_until_ready acks without
+    # waiting, so only a host fetch proves the computation ran (measured: a
+    # 3.5 GB op "completes" in 0.3 ms without a fetch). Chaining prevents
+    # any iteration from being elided.
+    fn = jax.jit(
+        lambda v: lax.fori_loop(
+            0, ITERS,
+            lambda i, a: ntt_fwd(a, jt.psi_rev_mont, jt.moduli, jt.qinv_neg), v,
+        )
+    )
     y = fn(x)
     np.asarray(y[0, 0, :1])
     t0 = time.perf_counter()
-    y = x
-    for _ in range(ITERS):
-        y = fn(y)  # chained so no iteration can be elided
+    y = fn(x)
     np.asarray(y[0, 0, :1])
     elapsed = time.perf_counter() - t0
     transforms = L * BATCH * ITERS
