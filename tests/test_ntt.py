@@ -124,7 +124,7 @@ def test_four_step_ntt_matches_radix_chain():
     from mxx_tpu.ops.four_step_ntt import four_step_ntt_fwd
     from mxx_tpu.ring.ntt import ntt_fwd
 
-    for n, n1 in ((64, 8), (256, 16), (4096, 64)):
+    for n, n1 in ((64, 8), (256, 16), (4096, 64), (8192, 64)):
         params = RingParams.new(n, 3, 28, 14)
         jt = params.jt
         rng = np.random.default_rng(5)
