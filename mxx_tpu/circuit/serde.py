@@ -244,9 +244,10 @@ def _binding_from_json(obj):
 
 def circuit_from_json_obj(obj: dict) -> PolyCircuit:
     circuit = PolyCircuit.__new__(PolyCircuit)
-    gates = [None] * len(obj["gates"])
-    for _, gobj in obj["gates"].items():
-        g = _gate_from_json(gobj)
+    parsed = [_gate_from_json(gobj) for gobj in obj["gates"].values()]
+    # Size by max gate id, not dict length: reference files may have sparse ids.
+    gates = [None] * (1 + max((g.gate_id for g in parsed), default=-1))
+    for g in parsed:
         gates[g.gate_id] = g
     circuit.gates = gates
     circuit.num_input = obj["num_input"]
@@ -257,10 +258,18 @@ def circuit_from_json_obj(obj: dict) -> PolyCircuit:
     }
     for sub in circuit.sub_circuits.values():
         sub.luts = circuit.luts
+    def _call_inputs(c):
+        # The reference schema allows a shared input prefix reused across
+        # calls (serde.rs SerializableSubCircuitCall); we model calls with a
+        # flat input list, so prepend the prefix wires to the suffix.
+        prefix = c.get("shared_input_prefix")
+        wires = _batched_to_wires(prefix) if prefix else []
+        return tuple(wires + _batched_to_wires(c["input_suffix"]))
+
     circuit.sub_circuit_calls = {
         int(cid): SubCircuitCall(
             c["sub_circuit_id"],
-            tuple(_batched_to_wires(c["input_suffix"])),
+            _call_inputs(c),
             tuple(_binding_from_json(b) for b in c["param_bindings"]),
             list(c["output_gate_ids"]),
         )

@@ -178,7 +178,7 @@ def sample_relinearization_eval_keys(ctx: CKKSContext, secret: int,
     (ckks.rs:45-76)."""
     q_full = ctx.q_window(0, ctx.nested.q_moduli_depth)
     b1 = rng.randrange(q_full)
-    e = round(random.gauss(0, error_sigma)) if error_sigma > 0 else 0
+    e = round(rng.gauss(0, error_sigma)) if error_sigma > 0 else 0
     b0 = (-b1 * secret + e + ctx.p_factor() * secret * secret) % q_full
     return b0, b1
 
@@ -189,7 +189,7 @@ def encrypt(ctx: CKKSContext, secret: int, message: int, rng: random.Random,
     levels = levels if levels is not None else ctx.max_active_levels
     q = ctx.q_window(ctx.level_offset, levels)
     c1 = rng.randrange(q)
-    e = round(random.gauss(0, error_sigma)) if error_sigma > 0 else 0
+    e = round(rng.gauss(0, error_sigma)) if error_sigma > 0 else 0
     c0 = (ctx.scale * message + e - c1 * secret) % q
     return c0, c1
 

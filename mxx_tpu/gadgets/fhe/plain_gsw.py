@@ -46,15 +46,18 @@ def native_encrypt(params: RingParams, k_secret: int, m: int, rng,
     """C = A + m*G in Z_Q^{2 x 2K}, A = [a ; k*a + e], key (-k, 1).
 
     NOTE: message scaling is separate — decrypt returns (Q/t)*m via the
-    G^{-1}((0, Q/t)) combination."""
-    import random
+    G^{-1}((0, Q/t)) combination.
 
+    `rng` must be a CSPRNG (utils.rng.Drbg / random.SystemRandom): the
+    a-values appear unmasked in the published ciphertext, so a recoverable
+    generator state leaks the payload (ADVICE r1 high). Errors are drawn from
+    the SAME rng so seeded runs reproduce."""
     q = params.modulus
     g = gadget_values(params)
     K = params.modulus_digits
     a = [rng.randrange(q) for _ in range(2 * K)]
     e = (
-        [round(random.gauss(0, error_sigma)) for _ in range(2 * K)]
+        [round(rng.gauss(0, error_sigma)) for _ in range(2 * K)]
         if error_sigma > 0
         else [0] * (2 * K)
     )

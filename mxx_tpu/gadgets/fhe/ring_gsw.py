@@ -226,15 +226,14 @@ def native_gadget_row(ctx: RingGswContext) -> list[int]:
 
 def native_encrypt(ctx: RingGswContext, s: int, m: int, rng, error_sigma: float = 0.0):
     """Host-side GSW encryption: 2 x 2L integer matrix mod Q
-    (reference ring_gsw_nested_rns.rs:106-204)."""
-    import random
-
+    (reference ring_gsw_nested_rns.rs:106-204). `rng` must be a CSPRNG
+    (utils.rng.Drbg); errors come from the same rng (ADVICE r1 high)."""
     q = ctx.q_big
     g = native_gadget_row(ctx)
     L = ctx.gadget_len
     a = [rng.randrange(q) for _ in range(2 * L)]
     if error_sigma > 0:
-        e = [round(random.gauss(0, error_sigma)) for _ in range(2 * L)]
+        e = [round(rng.gauss(0, error_sigma)) for _ in range(2 * L)]
     else:
         e = [0] * (2 * L)
     row0 = list(a)

@@ -31,8 +31,8 @@ the in-circuit homomorphic PRG is too expensive for CI-scale parameters.
 
 from __future__ import annotations
 
+import hashlib
 import os
-import random
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -45,6 +45,7 @@ from ..matrix import PolyMatrix
 from ..ring.poly import Poly
 from ..sampler import TernaryDist, TrapdoorSampler, UniformSampler
 from ..storage import init_storage_system, wait_for_all_writes
+from ..utils.rng import Drbg
 
 DIAMOND_SECRET_SIZE = 1
 
@@ -154,12 +155,17 @@ class DiamondIO:
         params = self.params
         d = Path(dir_path)
         d.mkdir(parents=True, exist_ok=True)
-        hash_key = os.urandom(32) if self._seed is None else bytes([self._seed % 256] * 32)
+        hash_key = (
+            os.urandom(32)
+            if self._seed is None
+            else hashlib.sha256(b"diamond_io_hash_key" + self._seed.to_bytes(8, "little", signed=True)).digest()
+        )
         num_bits = self.num_input_bits
 
         # payload k: ternary CONSTANT (the GSW mask key must be an integer for
-        # the host encryptions; the injector carries it as a constant poly)
-        rng = random.Random(self._seed)
+        # the host encryptions; the injector carries it as a constant poly).
+        # CSPRNG when unseeded: ciphertext a-values are published (ADVICE r1).
+        rng = Drbg(self._seed)
         k_int = rng.choice([-1, 1])
         k = Poly.const(params, k_int)
         pre_out = self.injector.preprocess(d, k)

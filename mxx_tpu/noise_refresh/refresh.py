@@ -14,8 +14,7 @@ the error-growth simulation, and the concrete `DiamondNoiseRefresher`
 `circuit_prg.py` (Goldreich PRG expansion over RingGSW), `circuit_decrypt.py`
 (batched polynomial GSW decryption with monomial packing + centered mask
 decode), `circuit_merge.py` (error+mask merge). The CRT-level-split
-NaiveVec orchestrator threading those through preprocess/online_eval over
-vector wires is next-round work.
+orchestrator over per-level wires is `NoiseRefresherNaiveVec` below.
 """
 
 from __future__ import annotations
@@ -144,13 +143,14 @@ class DiamondNoiseRefresher(NoiseRefresher):
         return self.trap.preimage(params, self.td0, self.b0, a_matrix.concat_rows([bottom]))
 
     def preprocess(self, refresh_id: bytes, a_c, rng=None):
-        """Returns the refresh material dict (preimages + mask pubkeys)."""
-        import random
-
+        """Returns the refresh material dict (preimages + mask pubkeys).
+        The mask value is secret material: default rng is a per-refresh-id
+        deterministic DRBG (CSPRNG-backed when callers pass Drbg(None))."""
         from ..matrix import PolyMatrix
+        from ..utils.rng import Drbg
 
         params = self.params
-        rng = rng or random.Random(0)
+        rng = rng or Drbg(b"noise_refresh" + refresh_id)
         q = params.modulus
         m_val = self.delta * rng.randrange(self.value_range // self.delta)
         a_m = self._hash_pk(f"nr_mask_{refresh_id.hex()}")

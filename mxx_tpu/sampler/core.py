@@ -5,7 +5,8 @@ TPU-native replacement for the reference's Keccak rejection hash sampler
 generators (src/sampler/uniform.rs) and the ChaCha CUDA RNG
 (cuda/src/ChaCha.cu). Design:
 
-- Randomness is derived from a 256-bit key + tag via SHA-256 -> threefry key;
+- Randomness is derived from a 256-bit key + tag via SHA-256 -> 256-bit
+  ChaCha20 device key (chacha.py; full digest kept — no keyspace truncation);
   each conceptual matrix column gets `fold_in(key, col)`, so any column
   window regenerates bit-identically without communication — preserving the
   reference's `sample_hash_columns` window-exactness property
@@ -24,21 +25,42 @@ from __future__ import annotations
 import functools
 import hashlib
 import math
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from . import chacha
 
 KARNEY_THRESHOLD = 300.0
 _GAUSS_TABLE_ACC = 5e-32
 
 
 def derive_key(key: bytes, tag: bytes | str, domain: bytes = b"") -> jax.Array:
-    """Derive a jax PRNG key from a 32-byte key + tag (+ domain separator)."""
+    """Derive a device PRNG key from a 32-byte key + tag (+ domain separator).
+
+    The full SHA-256 digest becomes a 256-bit ChaCha20 key (see chacha.py) —
+    no entropy is discarded, matching the reference's Keccak sampler keyed by
+    the entire 32-byte hash_key (src/sampler/hash.rs:14-51)."""
     if isinstance(tag, str):
         tag = tag.encode()
     h = hashlib.sha256(b"mxx_tpu/v1" + bytes(key) + b"|" + tag + b"|" + domain).digest()
-    return jax.random.key(int.from_bytes(h[:8], "little", signed=True), impl="threefry2x32")
+    return chacha.key_from_bytes(h)
+
+
+def fresh_key(seed: int | bytes | None = None) -> jax.Array:
+    """256-bit-keyspace device key: from OS entropy when seed is None, else
+    deterministically from the seed (tests / reproducible artifacts)."""
+    if seed is None:
+        material = os.urandom(32)
+    elif isinstance(seed, bytes):
+        material = hashlib.sha256(b"mxx_tpu/fresh" + seed).digest()
+    else:
+        material = hashlib.sha256(
+            b"mxx_tpu/fresh" + int(seed).to_bytes(16, "little", signed=True)
+        ).digest()
+    return chacha.key_from_bytes(material)
 
 
 @functools.lru_cache(maxsize=64)
@@ -62,7 +84,7 @@ def gauss_table(sigma: float) -> tuple[np.ndarray, int]:
 def uniform_residues(key, shape: tuple, q):
     """Uniform in [0, q_t) per limb: returns uint32[L, *shape]."""
     L = q.shape[0]
-    bits = jax.random.bits(key, (3, L) + shape, dtype=jnp.uint32)
+    bits = chacha.random_bits(key, (3, L) + shape, jnp.uint32)
     q64 = q.reshape((L,) + (1,) * len(shape)).astype(jnp.uint64)
     r = bits[0].astype(jnp.uint64) % q64
     r = ((r << 32) | bits[1].astype(jnp.uint64)) % q64
@@ -80,21 +102,21 @@ def _int_to_residues(v, q):
 
 @functools.partial(jax.jit, static_argnames=("shape",))
 def bit_residues(key, shape: tuple, q):
-    b = (jax.random.bits(key, shape, dtype=jnp.uint32) & 1).astype(jnp.int64)
+    b = (chacha.random_bits(key, shape, jnp.uint32) & 1).astype(jnp.int64)
     return _int_to_residues(b, q)
 
 
 @functools.partial(jax.jit, static_argnames=("shape",))
 def ternary_residues(key, shape: tuple, q):
     # unbiased via 2^32 mod 3 == 1: rejection-free masked draw
-    u = jax.random.bits(key, shape, dtype=jnp.uint32)
+    u = chacha.random_bits(key, shape, jnp.uint32)
     t = (u % 3).astype(jnp.int64) - 1
     return _int_to_residues(t, q)
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "tail"))
 def gauss_residues_table(key, shape: tuple, q, thresholds, tail: int):
-    u = jax.random.bits(key, shape, dtype=jnp.uint64)
+    u = chacha.random_bits(key, shape, jnp.uint64)
     idx = jnp.searchsorted(thresholds, u, side="right")
     v = idx.astype(jnp.int64) - tail
     return _int_to_residues(v, q)
@@ -102,7 +124,7 @@ def gauss_residues_table(key, shape: tuple, q, thresholds, tail: int):
 
 @functools.partial(jax.jit, static_argnames=("shape",))
 def gauss_residues_rounded(key, shape: tuple, q, sigma):
-    x = jax.random.normal(key, shape, dtype=jnp.float64) * sigma
+    x = chacha.normal(key, shape, jnp.float64) * sigma
     v = jnp.round(x).astype(jnp.int64)
     return _int_to_residues(v, q)
 
@@ -118,8 +140,8 @@ def gauss_ints(key, shape: tuple, sigma: float):
     """Signed int64 discrete-Gaussian draws (no residue reduction)."""
     if sigma <= KARNEY_THRESHOLD:
         thresholds, tail = gauss_table(float(sigma))
-        u = jax.random.bits(key, shape, dtype=jnp.uint64)
+        u = chacha.random_bits(key, shape, jnp.uint64)
         idx = jnp.searchsorted(jnp.asarray(thresholds), u, side="right")
         return idx.astype(jnp.int64) - tail
-    x = jax.random.normal(key, shape, dtype=jnp.float64) * float(sigma)
+    x = chacha.normal(key, shape, jnp.float64) * float(sigma)
     return jnp.round(x).astype(jnp.int64)

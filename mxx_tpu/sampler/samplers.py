@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ..matrix import PolyMatrix
 from ..ring.params import RingParams
 from ..ring.poly import COEFF, Poly
-from . import core
+from . import chacha, core
 from .dist import BitDist, DistType, FinRingDist, GaussDist, TernaryDist
 
 
@@ -54,7 +54,7 @@ def _columns_matrix(params: RingParams, base_key, dist: DistType, nrow: int, col
     n = params.n
 
     def one_col(j):
-        k = jax.random.fold_in(base_key, j)
+        k = chacha.fold_in(base_key, j)
         return _sample_residues(k, dist, (nrow, n), q)  # [L, nrow, n]
 
     cols_arr = jnp.asarray(cols, dtype=jnp.uint32)
@@ -104,12 +104,12 @@ class UniformSampler:
     """Fresh-randomness sampler; host-held key split per call."""
 
     def __init__(self, seed: int | None = None):
-        if seed is None:
-            seed = int.from_bytes(os.urandom(8), "little", signed=True)
-        self._key = jax.random.key(seed, impl="threefry2x32")
+        # 256-bit ChaCha key: OS entropy when unseeded (ADVICE round-1 fix —
+        # secrets must not be derived from a 64-bit keyspace).
+        self._key = core.fresh_key(seed)
 
     def _next_key(self):
-        self._key, sub = jax.random.split(self._key)
+        self._key, sub = chacha.split2(self._key)
         return sub
 
     def sample_uniform(

@@ -47,6 +47,7 @@ import numpy as np
 from ..matrix import PolyMatrix
 from ..ring.params import RingParams
 from ..utils.numth import modinv
+from . import chacha, core
 from .dist import FinRingDist, GaussDist
 from .samplers import UniformSampler
 
@@ -164,7 +165,7 @@ def _gauss_samp_gq(coeff_data, key, *, base_bits: int, dpt: int,
     # one batched draw for every tower's perturbation + rounding normals
     # (20 per-tower threefry calls fuse poorly; one [2, L, dpt, ...] draw
     # vectorizes the generator)
-    all_normals = jax.random.normal(key, (2, L, dpt) + shape, dtype=jnp.float32)
+    all_normals = chacha.normal(key, (2, L, dpt) + shape, jnp.float32)
     tower_digits = []  # [L][dpt] arrays of int32 digits
     for t in range(L):
         qt = int(moduli[t])
@@ -264,7 +265,7 @@ def _sample_p1_ints(tp2c, sqrt_var, upd, c_scale, key):
     mean = jnp.float32(c_scale) * tp2c.astype(jnp.float32)  # [m, cols, n]
     sqrt_var32 = sqrt_var.astype(jnp.float32)
     upd32 = upd.astype(jnp.float32)
-    normals = jax.random.normal(key, tp2c.shape, dtype=jnp.float32)
+    normals = chacha.normal(key, tp2c.shape, jnp.float32)
     zs = [None] * m
     for t in range(m - 1, -1, -1):
         z = jnp.rint(mean[t] + sqrt_var32[:, t][None, :] * normals[t])
@@ -280,31 +281,34 @@ class TrapdoorSampler:
     """Reference `DCRTPolyTrapdoorSampler` (trapdoor/sampler.rs:40-225)."""
 
     def __init__(self, params: RingParams, sigma: float, seed: int | None = None):
-        import os
-
         self.sigma = sigma
         self.base = 1 << params.base_bits
         self.c = preimage_c(self.base, sigma)
         self._uniform = UniformSampler(seed)
-        if seed is None:
-            seed = int.from_bytes(os.urandom(8), "little", signed=True)
-        self._key = jax.random.key(seed)
+        # 256-bit ChaCha key (OS entropy when unseeded): trapdoor R/E and all
+        # preimage Gaussians must not come from a 64-bit keyspace (ADVICE r1).
+        self._key = core.fresh_key(seed)
         self._ctr = 0
+        # Cache values hold strong references to the objects their keys were
+        # id()-derived from, so CPython can never recycle an id into a stale
+        # hit (ADVICE r1 medium).
         self._p1_cache: dict = {}
 
     def _next_key(self):
         self._ctr += 1
-        return jax.random.fold_in(self._key, self._ctr)
+        return chacha.fold_in(self._key, self._ctr)
 
     def _p1_tables(self, params: RingParams, trapdoor: "Trapdoor", s: float):
         cache_id = (id(trapdoor), s)
-        if cache_id not in self._p1_cache:
+        entry = self._p1_cache.get(cache_id)
+        if entry is None or entry[0] is not trapdoor:
             a_c = np.asarray(_centered_lift_f64(trapdoor.a_mat()))
             b_c = np.asarray(_centered_lift_f64(trapdoor.b_mat()))
             d_c = np.asarray(_centered_lift_f64(trapdoor.d_mat()))
             cov = _build_p1_cov(a_c, b_c, d_c, s, self.c)
-            self._p1_cache[cache_id] = _p1_ldl_tables(cov, self.sigma * self.sigma)
-        return self._p1_cache[cache_id]
+            entry = (trapdoor, _p1_ldl_tables(cov, self.sigma * self.sigma))
+            self._p1_cache[cache_id] = entry
+        return entry[1]
 
     def _preimage_core(self, params: RingParams, trapdoor: "Trapdoor",
                        public_matrix: PolyMatrix, d: int):
@@ -331,8 +335,9 @@ class TrapdoorSampler:
         def core(target_data, r_data, e_data, pub_data, sqrt_var, upd, ctr):
             from ..ring.poly import COEFF, EVAL
 
-            key = jax.random.fold_in(base_key, ctr)
-            kp2, kp1, kg = jax.random.split(key, 3)
+            key = chacha.fold_in(base_key, ctr)
+            ks = chacha.split(key, 3)
+            kp2, kp1, kg = ks[0], ks[1], ks[2]
             cols = target_data.shape[2]
             target = PolyMatrix(target_data, EVAL, params)
             r_mat = PolyMatrix(r_data, COEFF, params)
@@ -342,7 +347,7 @@ class TrapdoorSampler:
             # f32 rint above 2^24 coarsens support to multiples of 2^(e-24) —
             # still exact integers (lattice identity preserved), relative
             # granularity ~1e-7 of sigma_large: statistically negligible.
-            gn = jax.random.normal(kp2, (d * k, cols, params.n), dtype=jnp.float32)
+            gn = chacha.normal(kp2, (d * k, cols, params.n), jnp.float32)
             p2_int = jnp.rint(gn * jnp.float32(sigma_large))
             p2 = _matrix_from_signed(params, p2_int)
             tp2c = _centered_lift_f64(r_mat.concat_rows([e_mat]) @ p2)
@@ -396,16 +401,20 @@ class TrapdoorSampler:
         # a steady-state call is a single remote dispatch (tunnel RTT is the
         # per-program cost on axon).
         ops_id = ("ops", id(trapdoor), id(public_matrix))
-        if ops_id not in self._p1_cache:
+        entry = self._p1_cache.get(ops_id)
+        if entry is None or entry[0] is not trapdoor or entry[1] is not public_matrix:
             sqrt_var, upd = self._p1_tables(params, trapdoor, s)
-            self._p1_cache[ops_id] = (
+            entry = (
+                trapdoor,
+                public_matrix,
                 trapdoor.r.to_coeff().data,
                 trapdoor.e.to_coeff().data,
                 public_matrix.to_eval().data,
                 jnp.asarray(sqrt_var),
                 jnp.asarray(upd),
             )
-        r_data, e_data, pub_data, sqrt_var_j, upd_j = self._p1_cache[ops_id]
+            self._p1_cache[ops_id] = entry
+        r_data, e_data, pub_data, sqrt_var_j, upd_j = entry[2:]
         core = self._preimage_core(params, trapdoor, public_matrix, d)
         self._ctr += 1
         data = core(

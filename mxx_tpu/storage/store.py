@@ -66,9 +66,29 @@ class StorageSystem:
             except (json.JSONDecodeError, OSError):
                 self._index = {}
 
+    def _write_index_atomic(self, entries: dict):
+        tmp = self._index_path().with_suffix(".index.tmp")
+        tmp.write_text(json.dumps({"entries": entries}))
+        os.replace(tmp, self._index_path())
+
     def _flush_index(self):
         with self._index_lock:
-            self._index_path().write_text(json.dumps({"entries": self._index}))
+            self._write_index_atomic(self._index)
+
+    def _flush_index_durable(self, snapshot: dict, pending: list):
+        """Background periodic flush: barrier on all writes submitted before
+        the snapshot, THEN persist it — the on-disk index never references an
+        artifact whose batch file is missing or partial (ADVICE r1 medium)."""
+        from ..native.writer import wait_all_writes
+
+        for f in pending:
+            try:
+                f.result()
+            except Exception:
+                return  # leave the index un-advanced; wait_for_all_writes reports
+        wait_all_writes()
+        with self._index_lock:
+            self._write_index_atomic(snapshot)
 
     def _batch_file(self, prefix: str, part: int) -> Path:
         return self.dir_path / f"{prefix}_batch{part}.bin"
@@ -107,10 +127,6 @@ class StorageSystem:
             sync_due = self._writes_since_sync >= config.lut_index_sync_every()
             if sync_due:
                 self._writes_since_sync = 0
-        if sync_due:
-            # periodic index flush so long offline passes are resumable even
-            # without a final wait_for_all_writes (reference LUT_INDEX_SYNC_EVERY)
-            self._flush_index()
         path = self._batch_file(buffer.id_prefix, part)
 
         from ..native.writer import submit_write, writer_available
@@ -120,9 +136,23 @@ class StorageSystem:
             submit_write(path, buffer.serialize())
         else:
             def write():
-                path.write_bytes(buffer.serialize())
+                tmp = path.with_suffix(path.suffix + ".tmp")
+                tmp.write_bytes(buffer.serialize())
+                os.replace(tmp, path)
 
             self._futures.append(self._pool.submit(write))
+        if sync_due:
+            # Periodic index flush so long offline passes are resumable even
+            # without a final wait_for_all_writes (reference
+            # LUT_INDEX_SYNC_EVERY). The flush happens in the background AFTER
+            # a write barrier on everything submitted so far, so the persisted
+            # index only ever names completed batch files.
+            with self._index_lock:
+                snapshot = json.loads(json.dumps(self._index))
+            pending = list(self._futures)
+            self._futures.append(
+                self._pool.submit(self._flush_index_durable, snapshot, pending)
+            )
 
     def wait_for_all_writes(self):
         for f in list(self._futures):
@@ -148,7 +178,14 @@ class StorageSystem:
             for e in range(count):
                 i, off, ln = struct.unpack("<QQQ", raw[8 + 24 * e : 8 + 24 * (e + 1)])
                 if i == idx:
-                    return raw[table_end + off : table_end + off + ln]
+                    payload = raw[table_end + off : table_end + off + ln]
+                    if len(payload) != ln:
+                        raise IOError(
+                            f"truncated batch file {path}: entry {idx} wants "
+                            f"{ln} bytes at offset {off}, file has "
+                            f"{len(raw) - table_end - off}"
+                        )
+                    return payload
         return None
 
     def _count_parts(self, prefix: str) -> int:

@@ -70,12 +70,19 @@ class Writer {
                 job = std::move(queue_.front());
                 queue_.pop();
             }
-            FILE* f = std::fopen(job.path.c_str(), "wb");
+            // Crash-safe: write the full payload to a temp path, then rename
+            // atomically — a reader (or a resumed run) can never observe a
+            // partially written artifact (ADVICE r1 medium).
+            const std::string tmp = job.path + ".tmp";
+            FILE* f = std::fopen(tmp.c_str(), "wb");
             if (f != nullptr) {
-                if (std::fwrite(job.data.data(), 1, job.data.size(), f) != job.data.size()) {
+                bool ok =
+                    std::fwrite(job.data.data(), 1, job.data.size(), f) == job.data.size();
+                ok = (std::fclose(f) == 0) && ok;
+                if (!ok || std::rename(tmp.c_str(), job.path.c_str()) != 0) {
                     ++errors_;
+                    std::remove(tmp.c_str());
                 }
-                std::fclose(f);
             } else {
                 ++errors_;
             }

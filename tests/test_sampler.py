@@ -193,3 +193,26 @@ def test_preimage_batched_sharded_mesh():
     for t, x in zip(targets, outs):
         assert x.ncol == t.ncol
         assert (a @ x) == t
+
+
+def test_chacha_rfc8439_block_vector():
+    """The device ChaCha20 block function must match RFC 8439 §2.3.2."""
+    from mxx_tpu.sampler import chacha
+
+    assert chacha._self_test_vector()
+
+
+def test_chacha_streams_distinct_and_deterministic():
+    from mxx_tpu.sampler import chacha
+    import numpy as np
+
+    k1 = chacha.key_from_bytes(bytes(range(32)))
+    k2 = chacha.key_from_bytes(bytes(range(1, 33)))
+    a = np.asarray(chacha.random_bits(k1, (8,)))
+    b = np.asarray(chacha.random_bits(k1, (8,)))
+    c = np.asarray(chacha.random_bits(k2, (8,)))
+    assert (a == b).all(), "same key must reproduce"
+    assert (a != c).any(), "different keys must differ"
+    f1 = np.asarray(chacha.fold_in(k1, 7))
+    f2 = np.asarray(chacha.fold_in(k1, 8))
+    assert (f1 != f2).any()
