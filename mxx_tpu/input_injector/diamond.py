@@ -23,6 +23,7 @@ from pathlib import Path
 from ..matrix import PolyMatrix
 from ..ring.poly import Poly
 from ..sampler import GaussDist, TernaryDist, Trapdoor, TrapdoorSampler, UniformSampler
+from ..utils.tracing import span
 
 DIAMOND_PREFIX_SIZE = 2
 DIAMOND_SECRET_SIZE = 1
@@ -160,6 +161,11 @@ class DiamondInjector:
     # ------------------------------------------------------------ preprocess
 
     def preprocess(self, dir_path, k: Poly) -> DiamondInjectorPreprocessOut:
+        with span("diamond_injector.preprocess", input_count=self.input_count,
+                  base=self.base, batch_bits=self.batch_bits):
+            return self._preprocess(dir_path, k)
+
+    def _preprocess(self, dir_path, k: Poly) -> DiamondInjectorPreprocessOut:
         d = Path(dir_path)
         d.mkdir(parents=True, exist_ok=True)
         (d / "diamond_injector_metadata.json").write_text(
@@ -228,6 +234,11 @@ class DiamondInjector:
 
     def online_eval(self, dir_path, preprocess_out: DiamondInjectorPreprocessOut,
                     input_digits: list[int]) -> list[PolyMatrix]:
+        with span("diamond_injector.online_eval", digits=len(input_digits)):
+            return self._online_eval(dir_path, preprocess_out, input_digits)
+
+    def _online_eval(self, dir_path, preprocess_out: DiamondInjectorPreprocessOut,
+                     input_digits: list[int]) -> list[PolyMatrix]:
         assert len(input_digits) == self.input_count
         assert all(0 <= v < self.base for v in input_digits)
         d = Path(dir_path)

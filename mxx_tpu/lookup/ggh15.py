@@ -58,6 +58,7 @@ from ..storage import (
     read_bytes_from_multi_batch,
     read_matrix_from_multi_batch,
 )
+from ..utils.tracing import span
 from .public_lut import PublicLut
 
 
@@ -219,6 +220,11 @@ class GGH15BGGPubKeyPltEvaluator:
     # ---- offline sampling
 
     def sample_aux_matrices(self, params):
+        with span("ggh15.sample_aux_matrices", luts=len(self.lut_state),
+                  gates=len(self.gate_state)):
+            return self._sample_aux_matrices(params)
+
+    def _sample_aux_matrices(self, params):
         storage = get_storage_system()
         trap_sampler = TrapdoorSampler(params, self.trapdoor_sigma)
         d = self.d

@@ -27,6 +27,7 @@ from ..matrix import PolyMatrix
 from ..ring.poly import Poly
 from ..sampler import FinRingDist, HashSampler, Trapdoor, TrapdoorSampler
 from ..storage import add_lookup_buffer, get_lookup_buffer, read_matrix_from_multi_batch
+from ..utils.tracing import span
 from .public_lut import PublicLut
 
 
@@ -92,14 +93,16 @@ class LWEBGGPubKeyPltEvaluator:
 
     def sample_aux_matrices(self, params):
         """Sample + persist K_high preimage rows for every recorded gate."""
-        for (gate_id, slot_idx), state in list(self.gate_state.items()):
-            plt = self.lut_state[state.lut_id]
-            buffer = self._sample_k_high_buffer(
-                params, plt, state.input_pubkey, state.output_pubkey,
-                gate_id, state.lut_id, slot_idx,
-            )
-            add_lookup_buffer(buffer)
-        self.gate_state.clear()
+        with span("lwe_lut.sample_aux_matrices", gates=len(self.gate_state)):
+            for (gate_id, slot_idx), state in list(self.gate_state.items()):
+                plt = self.lut_state[state.lut_id]
+                with span("lwe_lut.k_high_gate", gate_id=gate_id, slot=slot_idx):
+                    buffer = self._sample_k_high_buffer(
+                        params, plt, state.input_pubkey, state.output_pubkey,
+                        gate_id, state.lut_id, slot_idx,
+                    )
+                add_lookup_buffer(buffer)
+            self.gate_state.clear()
 
     def _sample_k_high_buffer(self, params, plt, a_z, a_lt, gate_id, lut_id, slot_idx):
         row_size = self.pub_matrix.nrow

@@ -14,6 +14,7 @@ from __future__ import annotations
 import struct
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -26,6 +27,26 @@ from ..ring.params import RingParams
 from ..ring.poly import COEFF, EVAL, Poly, residues_from_int
 
 _MAGIC = b"MXTM"
+
+
+@jax.jit
+def _modulus_switch_u32(coeff_data, int_parts, frac_parts, new_modulus, moduli):
+    """round(x * P / q) mod P from CRT residues, re-embedded per limb.
+
+    coeff_data: uint32[L, r, c, n]; int_parts: uint64[L] = floor(e_t P / q)
+    mod P; frac_parts: float64[L] = frac(e_t P / q); new_modulus: uint64 P.
+    Integer parts accumulate exactly mod P in uint64 (each term < 2^62 after
+    per-term reduction); fractional parts accumulate in float64.
+    """
+    r = coeff_data.astype(jnp.uint64)  # [L, r, c, n]
+    shape = (-1,) + (1,) * (coeff_data.ndim - 1)
+    terms = (r * (int_parts.reshape(shape) % new_modulus)) % new_modulus
+    hi = jnp.sum(terms, axis=0) % new_modulus  # [r, c, n]
+    fr = jnp.sum(r.astype(jnp.float64) * frac_parts.reshape(shape), axis=0)
+    fr_floor = jnp.floor(fr)
+    carry = (fr_floor.astype(jnp.uint64) + jnp.where(fr - fr_floor >= 0.5, 1, 0).astype(jnp.uint64)) % new_modulus
+    v = (hi + carry) % new_modulus  # [r, c, n]
+    return (v[None] % moduli.astype(jnp.uint64).reshape(shape)).astype(jnp.uint32)
 
 
 @dataclass(frozen=True)
@@ -356,9 +377,28 @@ class PolyMatrix:
         return slices[0].concat_columns(slices[1:])
 
     def modulus_switch(self, new_modulus: int) -> "PolyMatrix":
-        """Round-scale all coefficients from q to new_modulus (host path)."""
+        """Round-scale all coefficients from q to new_modulus.
+
+        Device path (new_modulus < 2^32): OpenFHE-style CRT scale-and-round
+        (reference delegates to OpenFHE's ScaleAndRound; matrix/mod.rs
+        modulus_switch). round(x*P/q) for x = sum_t r_t e_t - m q splits
+        e_t*P/q = I_t + f_t into an exact integer part accumulated mod P in
+        uint64 and a float64 fractional sum (abs error ~L*2^-23 per coeff —
+        the same double-precision approximation OpenFHE uses; a boundary case
+        needs the true fraction within ~2^-19 of 1/2). Larger targets fall
+        back to the exact host BigInt path.
+        """
         p = self.params
         q = p.modulus
+        if new_modulus < (1 << 32):
+            switched = _modulus_switch_u32(
+                self.to_coeff().data,
+                p.jt.ms_int_parts(new_modulus),
+                p.jt.ms_frac_parts(new_modulus),
+                jnp.uint64(new_modulus),
+                p.jt.moduli,
+            )
+            return PolyMatrix(switched, COEFF, p)
         arr = np.asarray(self.to_coeff().data)
         rows = []
         for i in range(self.nrow):

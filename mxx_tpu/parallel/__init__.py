@@ -1,3 +1,4 @@
+from .crt_collective import crt_switch_sharded  # noqa: F401
 from .mesh import (  # noqa: F401
     COL_AXIS,
     LIMB_AXIS,

@@ -357,3 +357,34 @@ class JaxTables:
     @property
     def sign_corr_pows(self):
         return self._get("sign_corr_pows")
+
+    # ------------------------------------------- modulus-switch tables (per P)
+
+    def _ms_tables(self, new_modulus: int):
+        key = ("ms", new_modulus)
+        if key not in self._cache:
+            import jax
+            import jax.numpy as jnp
+
+            q = self._p.modulus
+            ints = []
+            fracs = []
+            for e in self._p.crt_idempotents:
+                num = e * new_modulus
+                ints.append((num // q) % new_modulus)
+                # exact rational remainder -> float64 fraction
+                fracs.append(float((num % q) / q))
+            with jax.ensure_compile_time_eval():
+                self._cache[key] = (
+                    jnp.asarray(np.array(ints, dtype=np.uint64)),
+                    jnp.asarray(np.array(fracs, dtype=np.float64)),
+                )
+        return self._cache[key]
+
+    def ms_int_parts(self, new_modulus: int):
+        """floor(e_t * P / q) mod P per limb (uint64[L])."""
+        return self._ms_tables(new_modulus)[0]
+
+    def ms_frac_parts(self, new_modulus: int):
+        """frac(e_t * P / q) per limb (float64[L])."""
+        return self._ms_tables(new_modulus)[1]

@@ -206,3 +206,19 @@ def test_mul_tensor_identity():
     ident = PolyMatrix.identity(params, 3)
     want = a @ ident.tensor(other)
     assert got == want
+
+
+@pytest.mark.parametrize("n,depth,crt_bits,new_mod", [(4, 2, 17, 2), (8, 3, 26, 1 << 16), (4, 2, 20, 3)])
+def test_modulus_switch_device_matches_host(n, depth, crt_bits, new_mod):
+    """Jitted CRT scale-and-round must match the exact BigInt rule."""
+    params = RingParams.new(n, depth, crt_bits, 1)
+    q = params.modulus
+    rng = np.random.default_rng(7)
+    mat, ints = rand_matrix(rng, params, 2, 3)
+    got = mat.modulus_switch(new_mod)
+    for i in range(2):
+        for j in range(3):
+            got_coeffs = got.entry(i, j).coeffs()
+            for t in range(params.n):
+                want = (ints[i][j][t] * new_mod + q // 2) // q % new_mod
+                assert got_coeffs[t] == want, (i, j, t, got_coeffs[t], want)

@@ -81,3 +81,26 @@ def test_sharded_ntt_and_psum_crt_fold():
         shard_map(fold, mesh=mesh, in_specs=P("limb", None, None), out_specs=P("limb"))
     )(jax.device_put(got, sh))
     assert np.isclose(float(np.asarray(folded)[0]), float(np.asarray(got).astype(np.float64).sum()))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("new_mod", [2, 251, 1 << 16])
+def test_crt_switch_sharded_exact(new_mod):
+    """The P9 CRT-reconstruction collective must match the exact BigInt
+    scale-and-round rule per coefficient."""
+    from mxx_tpu.parallel.crt_collective import crt_switch_sharded
+
+    mesh = make_mesh(8)
+    nl, _ = factor_devices(8)
+    depth = 2 * max(2, nl)  # limbs divisible by limb shards
+    params = RingParams.new(16, depth, 20, 5)
+    q = params.modulus
+    x = _rand(params, (3, params.n), 33)
+    sh = NamedSharding(mesh, P("limb", None, None))
+    got = np.asarray(crt_switch_sharded(params, jax.device_put(x, sh), new_mod, mesh))
+    arr = np.asarray(x)
+    for j in range(3):
+        for t in range(params.n):
+            val = params.reconstruct_coeff(arr[:, j, t])
+            want = (val * new_mod + q // 2) // q % new_mod
+            assert got[j, t] == want, (j, t, got[j, t], want)
