@@ -1,46 +1,72 @@
-"""Debug LUT evaluators: relation-checking wrappers over real evaluators.
+"""Debug/test LUT evaluators over BGG wires.
 
-TPU-build of /root/reference/src/lookup/debug.rs: evaluators used as test
-oracles that verify the BGG relation of every lookup output against the
-(debug-only) secret. The debug trapdoor preimage shortcut
-    preimage(T) = [R G^{-1}(T); E G^{-1}(T); G^{-1}(T)]
-matches debug.rs:33-49 (exact, non-Gaussian).
+Reference analog: /root/reference/src/lookup/debug.rs (the
+DebugNaiveBGGPublicKeyVecPltEvaluator family), whose point is to make
+LUT-heavy circuits evaluable in tests without paying the full per-entry
+Gaussian-preimage sampling of the production LWE/GGH15 evaluators. The
+reference's version swaps in a cheap deterministic trapdoor preimage; this
+module goes one step further for CI scale and constructs the output wires
+directly from the (test-held) BGG secret:
+
+- pubkey path: output pubkey = Hash(key, "A_LT_{gate}") — IDENTICAL to the
+  production evaluator's output pubkey, so artifacts derived from debug-path
+  pubkeys (decoder preimages etc.) stay valid against production wires.
+- encoding path: output encoding = s (A_LT - y G), the exact relation the
+  production evaluator's c_b K_high + c_z K_low telescopes to (lwe.py:14-17)
+  with zero lookup error.
+
+Production-path correctness (preimage algebra, storage round-trip) is covered
+by test_lwe_modp_chain; these evaluators exist so protocol-level tests with
+hundreds of nested-RNS reduce LUT gates stay CI-tractable. NEVER use outside
+tests: they require the secret.
 """
 
 from __future__ import annotations
 
-from ..bgg import BggEncoding
+from ..bgg import BggEncoding, BggPublicKey
 from ..matrix import PolyMatrix
-from ..sampler import Trapdoor
+from ..ring.poly import Poly
+from .lwe import derive_a_lt_matrix
 
 
-def debug_trapdoor_preimage(params, trapdoor: Trapdoor, target: PolyMatrix) -> PolyMatrix:
-    """Exact preimage without perturbation (debug.rs DebugTrapdoorPreimage):
-    A [R z; E z; z] = (G - AR - E + AR + E) z = target."""
-    dec = target.decompose()
-    r_part = trapdoor.r @ dec
-    e_part = trapdoor.e @ dec
-    return r_part.concat_rows([e_part, dec])
+class DebugBGGPubKeyPltEvaluator:
+    """Pubkey-path debug evaluator: hash-derived A_LT, no artifact sampling."""
+
+    def __init__(self, hash_key: bytes):
+        self.hash_key = hash_key
+
+    def public_lookup(self, params, plt, one, input_pk: BggPublicKey,
+                      gate_id: int, lut_id: int, slot_idx=None) -> BggPublicKey:
+        a_lt = derive_a_lt_matrix(
+            params, input_pk.matrix.nrow, self.hash_key, gate_id, slot_idx
+        )
+        return BggPublicKey(a_lt, True)
+
+    def sample_aux_matrices(self, params):
+        pass
 
 
-class RelationCheckingPltEvaluator:
-    """Wraps any encoding-path PltEvaluator and asserts the BGG relation of
-    every lookup output against the provided secret vector (zero-error runs).
-    """
+class DebugBGGEncodingPltEvaluator:
+    """Encoding-path debug evaluator: exact output from the test-held secret.
 
-    def __init__(self, inner, secret_vec: PolyMatrix):
-        self.inner = inner
+    `secret_vec` is the 1 x d BGG secret row s (for Diamond wires, the final
+    state secret sigma reconstructed by the injector debug helper)."""
+
+    def __init__(self, hash_key: bytes, secret_vec: PolyMatrix):
+        self.hash_key = hash_key
         self.secret_vec = secret_vec
 
-    def public_lookup(self, params, plt, one, input_enc, gate_id, lut_id):
-        out = self.inner.public_lookup(params, plt, one, input_enc, gate_id, lut_id)
-        if isinstance(out, BggEncoding) and out.plaintext is not None:
-            d = self.secret_vec.ncol
-            g = PolyMatrix.gadget_matrix(params, d)
-            expected = self.secret_vec @ out.pubkey.matrix - (
-                self.secret_vec @ g
-            ).mul_poly_scalar(out.plaintext)
-            assert out.vector == expected, (
-                f"debug: LUT output relation violated at gate {gate_id}"
-            )
-        return out
+    def public_lookup(self, params, plt, one, input_enc: BggEncoding,
+                      gate_id: int, lut_id: int, slot_idx=None) -> BggEncoding:
+        assert input_enc.plaintext is not None, "debug lookup input must reveal plaintext"
+        z = int(input_enc.plaintext.const_coeff())
+        got = plt.get(params, z)
+        if got is None:
+            raise KeyError(f"{z} not found in LUT {lut_id} for gate {gate_id}")
+        _k, y = got
+        y_poly = Poly.from_elem_to_constant(params, y)
+        d = input_enc.pubkey.matrix.nrow
+        a_lt = derive_a_lt_matrix(params, d, self.hash_key, gate_id, slot_idx)
+        gadget = PolyMatrix.gadget_matrix(params, d)
+        vector = self.secret_vec @ (a_lt - gadget.mul_poly_scalar(y_poly))
+        return BggEncoding(vector, BggPublicKey(a_lt, True), y_poly)

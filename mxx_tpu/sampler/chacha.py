@@ -122,6 +122,7 @@ def key_from_bytes(key_bytes: bytes) -> jax.Array:
     return jnp.asarray(np.frombuffer(key_bytes, dtype="<u4"))
 
 
+@jax.jit
 def fold_in(key8, data) -> jax.Array:
     """New key = first 8 keystream words of block(counter=data_lo,
     nonce0=data_hi, domain FOLD). `data` may be a traced scalar (vmappable)."""
@@ -137,6 +138,7 @@ def fold_in(key8, data) -> jax.Array:
     return blk[0, :8]
 
 
+@functools.partial(jax.jit, static_argnames=("num",))
 def split(key8, num: int = 2) -> jax.Array:
     """uint32[num, 8] of derived keys (domain SPLIT keystream)."""
     words = _keystream_words(key8, num * 8, _DOMAIN_SPLIT)
@@ -148,6 +150,7 @@ def split2(key8) -> tuple[jax.Array, jax.Array]:
     return ks[0], ks[1]
 
 
+@functools.partial(jax.jit, static_argnames=("shape", "dtype"))
 def random_bits(key8, shape: tuple, dtype=jnp.uint32) -> jax.Array:
     """Uniform random bits under (key, BITS domain)."""
     dtype = jnp.dtype(dtype)
@@ -173,6 +176,7 @@ def random_bits(key8, shape: tuple, dtype=jnp.uint32) -> jax.Array:
     raise ValueError(f"unsupported dtype {dtype}")
 
 
+@functools.partial(jax.jit, static_argnames=("shape", "dtype"))
 def normal(key8, shape: tuple, dtype=jnp.float32) -> jax.Array:
     """Standard normals via Box-Muller over the NORMAL-domain keystream."""
     dtype = jnp.dtype(dtype)

@@ -48,18 +48,27 @@ def _sample_residues(key, dist: DistType, shape: tuple, q) -> jnp.ndarray:
     raise TypeError(dist)
 
 
-def _columns_matrix(params: RingParams, base_key, dist: DistType, nrow: int, cols) -> PolyMatrix:
-    """Sample columns [col][L, nrow, n] via per-column fold_in; stack to a matrix."""
-    q = params.jt.moduli
-    n = params.n
+import functools
 
+
+@functools.partial(jax.jit, static_argnames=("dist", "nrow", "n"))
+def _columns_planes(base_key, cols_arr, q, dist: DistType, nrow: int, n: int):
     def one_col(j):
         k = chacha.fold_in(base_key, j)
         return _sample_residues(k, dist, (nrow, n), q)  # [L, nrow, n]
 
-    cols_arr = jnp.asarray(cols, dtype=jnp.uint32)
     planes = jax.vmap(one_col)(cols_arr)  # [ncol, L, nrow, n]
-    data = jnp.transpose(planes, (1, 2, 0, 3))  # [L, nrow, ncol, n]
+    return jnp.transpose(planes, (1, 2, 0, 3))  # [L, nrow, ncol, n]
+
+
+def _columns_matrix(params: RingParams, base_key, dist: DistType, nrow: int, cols) -> PolyMatrix:
+    """Sample columns [col][L, nrow, n] via per-column fold_in; stack to a matrix.
+
+    The inner program is jitted (keyed on dist/nrow/ncol/n) — hash sampling is
+    called per LUT gate and per protocol artifact, so per-call retracing of
+    the ChaCha rounds would dominate protocol runtime."""
+    cols_arr = jnp.asarray(cols, dtype=jnp.uint32)
+    data = _columns_planes(base_key, cols_arr, params.jt.moduli, dist, nrow, params.n)
     return PolyMatrix(data, COEFF, params)
 
 
