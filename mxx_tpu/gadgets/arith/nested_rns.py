@@ -87,7 +87,10 @@ class NestedRnsPolyContext:
         while True:
             total = sum(self.p_moduli)
             k = len(self.p_moduli)
-            if math.prod(self.p_moduli) > ((total + k + 1) * q_max) ** max_unreduced_muls:
+            # the HPS v-rounding in full_reduce/reconstruct/gadget_decompose
+            # (real_to_v LUT) is exact only for represented values < P/2, so
+            # the basis must leave a factor-2 headroom over the op budgets
+            if math.prod(self.p_moduli) > 2 * ((total + k + 1) * q_max) ** max_unreduced_muls:
                 break
             while not all(_gcd(candidate, c) == 1 for c in self.p_moduli):
                 candidate += 1
@@ -96,6 +99,8 @@ class NestedRnsPolyContext:
             self.p_moduli.append(candidate)
         self.k = len(self.p_moduli)
         self.p_full = math.prod(self.p_moduli)
+        # exactness ceiling for every represented value (see v-rounding note)
+        self.p_half = self.p_full // 2
         self.p_over_pis = [self.p_full // p for p in self.p_moduli]
         self.p_max = max(self.p_moduli)
         # value bound after one full_reduce: (sum p_i + k) * q  (context.rs:55-79)
@@ -141,6 +146,16 @@ class NestedRnsPolyContext:
             row.append(0 if pm == 0 else q - pm)
             self.gadget_values.append(row)
         self._register_luts(circuit)
+        # LUT ids above index into this registry; fresh circuits built against
+        # this context must share it (reference RingGswContext::fresh_circuit)
+        self.luts = circuit.luts
+
+    def fresh_circuit(self) -> PolyCircuit:
+        """New circuit sharing this context's LUT registry, so sub-circuits
+        built later (decrypt/PRG material) resolve the context's lut ids."""
+        c = PolyCircuit()
+        c.luts = self.luts
+        return c
 
     # ------------------------------------------------------------------ LUTs
 
@@ -289,7 +304,7 @@ class NestedRnsPoly:
     def add(self, other: "NestedRnsPoly", circuit: PolyCircuit) -> "NestedRnsPoly":
         self._check_compat(other)
         a, b = self, other
-        if any(va + vb >= self.ctx.p_full for va, vb in zip(a.value_bounds, b.value_bounds)):
+        if any(va + vb >= self.ctx.p_half for va, vb in zip(a.value_bounds, b.value_bounds)):
             a = a.full_reduce(circuit)
             b = b.full_reduce(circuit)
         limit = min(self.ctx.lut_mod_p_domain)
@@ -317,7 +332,7 @@ class NestedRnsPoly:
         a, b = self, other
         qs = self._active_moduli()
         if any(
-            va + (-(-vb // q) * q) + q >= self.ctx.p_full
+            va + (-(-vb // q) * q) + q >= self.ctx.p_half
             for va, vb, q in zip(a.value_bounds, b.value_bounds, qs)
         ):
             a = a.full_reduce(circuit)
@@ -336,7 +351,7 @@ class NestedRnsPoly:
                 lvl.append(circuit.sub_gate(t, y))
             wires.append(lvl)
             new_val.append(a.value_bounds[lvl_idx] + c * q_i)
-        assert all(v < self.ctx.p_full for v in new_val), "sub exceeds p-CRT budget"
+        assert all(v < self.ctx.p_half for v in new_val), "sub exceeds p-CRT budget"
         return replace(
             self,
             wires=wires,
@@ -347,7 +362,7 @@ class NestedRnsPoly:
     def mul(self, other: "NestedRnsPoly", circuit: PolyCircuit) -> "NestedRnsPoly":
         self._check_compat(other)
         a, b = self, other
-        if any(va * vb >= self.ctx.p_full for va, vb in zip(a.value_bounds, b.value_bounds)):
+        if any(va * vb >= self.ctx.p_half for va, vb in zip(a.value_bounds, b.value_bounds)):
             a = a.full_reduce(circuit)
             b = b.full_reduce(circuit)
         if max(a.trace_bounds) >= self.ctx.p_max:
@@ -355,7 +370,7 @@ class NestedRnsPoly:
         if max(b.trace_bounds) >= self.ctx.p_max:
             b = b.lazy_reduce(circuit)
         new_val = [va * vb for va, vb in zip(a.value_bounds, b.value_bounds)]
-        assert all(v < self.ctx.p_full for v in new_val), (
+        assert all(v < self.ctx.p_half for v in new_val), (
             "nested-RNS multiplication exceeds the p-CRT budget even after full_reduce"
         )
         wires = []
@@ -387,7 +402,7 @@ class NestedRnsPoly:
                 trace_bounds=[0] * self.levels,
             )
         a = self
-        if any(v * c >= self.ctx.p_full for v in a.value_bounds):
+        if any(v * c >= self.ctx.p_half for v in a.value_bounds):
             a = a.full_reduce(circuit)
         if max(a.trace_bounds) * min(c, self.ctx.p_max) >= min(self.ctx.lut_mod_p_domain):
             a = a.lazy_reduce(circuit)
@@ -459,7 +474,7 @@ class NestedRnsPoly:
         the q_L^{-1} mod q_i factors differ per level)."""
         assert len(consts) == self.levels
         a = self
-        if any(v * c >= self.ctx.p_full for v, c in zip(a.value_bounds, consts)):
+        if any(v * c >= self.ctx.p_half for v, c in zip(a.value_bounds, consts)):
             a = a.full_reduce(circuit)
         if max(a.trace_bounds) * min(max(consts), self.ctx.p_max) >= min(
             self.ctx.lut_mod_p_domain

@@ -36,6 +36,11 @@ class RingGswContext:
         self.nested = NestedRnsPolyContext(circuit, params, p_moduli_bits, max_unreduced_muls)
         self.q_big = math.prod(self.nested.q_moduli)
 
+    def fresh_circuit(self) -> PolyCircuit:
+        """New circuit sharing this context's LUT registry (reference
+        ring_gsw.rs fresh_circuit)."""
+        return self.nested.fresh_circuit()
+
     @property
     def gadget_len(self) -> int:
         return self.nested.q_moduli_depth * (self.nested.k + 1)

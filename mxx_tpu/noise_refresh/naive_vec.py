@@ -1,0 +1,239 @@
+"""Reference-faithful BGG-wire noise refresh: subtract -> round -> recompose.
+
+TPU-build of /root/reference/src/noise_refresh/naive_vec.rs (preprocess_many
+:840, online_eval_many :1077, preprocess_from_decoded :1539,
+crt_recompose_rows :2086). The mechanism, per refreshed relative-channel wire
+c = s A - x (s G) + e and per CRT level i with qhat_i = q / q_i:
+
+    L_i = c . G^{-1}(qhat_i G) + M_i - c_one . G^{-1}(qhat_i A') - D_i
+
+where M_i is the decoded refresh-material term (Ring-GSW mask + error
+ciphertexts decrypted IN-CIRCUIT with the k wire; the error ciphertexts
+decrypt with plaintext modulus q_i so their value rides the qhat_i scale and
+SURVIVES the rounding as the fresh error, while the v_bits mask values sit
+below the rounding threshold and flood the discarded bits), and D_i is the
+stored decoder s T_i with
+
+    T_i = A . G^{-1}(qhat_i G) + A_{M_i} - A_one . G^{-1}(qhat_i A').
+
+Expanding, L_i = qhat_i * [ s(A' - xG) + eps*s ] + (mask + e_small), so
+round(L_i * q_i / q) mod q_i recovers the SAME value s(A' - xG) + eps*s at
+every level, and the reconst-coefficient CRT recomposition emits a fresh
+encoding of x under the hash-derived pubkey A' whose error is exactly the
+PRG-derived eps (input error e is rounded away).
+
+Repo specialization (documented deviations from the reference):
+- Wires are scalar BggPublicKey/BggEncoding (the reference's
+  NaiveBGG*Vec with num_slots = ring_dim is a slotwise duplication of the
+  same scalar pipeline; the vec wrappers in bgg/vec.py lift this refresher
+  slot-by-slot).
+- secret_size d = 1 (the reference's DIAMOND_SECRET_SIZE constant).
+- Material ciphertexts come from a pluggable provider: the real mode
+  evaluates the Goldreich CBD PRG over Ring-GSW in-circuit
+  (circuit_prg.build_noise_refresh_prg_material); the replay mode lifts
+  recorded native ciphertext values as constant wires (the reference's
+  debug_encrypt_random_prg_wires / debug_reuse_single_material test modes,
+  naive_vec.rs:903-977) — value-preservation then still holds because the
+  replayed ciphertexts are valid encryptions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+from ..bgg import BggEncoding, BggPublicKey
+from ..circuit import PolyCircuit
+from ..gadgets.fhe.ring_gsw import RingGswCiphertext, encode_ciphertext_inputs
+from ..matrix import PolyMatrix
+from ..ring.poly import Poly
+from ..sampler import FinRingDist, HashSampler
+from ..utils.tracing import span
+from .circuit_decrypt import (
+    decrypt_centered_bit_decomposed_polynomial,
+    decrypt_error_coefficients_as_polynomial,
+)
+from ..decoder.mask_circuit import mask_plaintext_moduli_from_full_modulus
+
+
+def build_refreshed_wire_digit_all_crt_decrypt(ring_gsw_ctx, v_bits: int) -> PolyCircuit:
+    """All-CRT decrypt circuit for one gadget digit of one refreshed wire
+    (reference circuit_decrypt.rs build_refreshed_wire_digit_all_crt_decrypt).
+
+    Inputs: ring_dim error ciphertexts, then crt_depth * ring_dim * v_bits
+    mask ciphertexts, then the decryption-key wire. Outputs: per CRT level,
+    ONE merged wire (decoded_error + decoded_mask) — the reference emits the
+    pair and merges in circuit_merge; merging here inline saves wires.
+    Error decryption uses plaintext modulus q_i, so the decoded error value
+    is (q/q_i)-scaled — the property the rounding relies on."""
+    assert v_bits > 0
+    circuit = ring_gsw_ctx.fresh_circuit()
+    params = ring_gsw_ctx.params
+    ring_dim = params.n
+    crt_depth = params.crt_depth
+    moduli = params.moduli
+    mask_chunk = ring_dim * v_bits
+    mask_moduli = mask_plaintext_moduli_from_full_modulus(ring_gsw_ctx.q_big, v_bits)
+
+    errors = [RingGswCiphertext.input(ring_gsw_ctx, circuit) for _ in range(ring_dim)]
+    masks = [
+        RingGswCiphertext.input(ring_gsw_ctx, circuit)
+        for _ in range(crt_depth * mask_chunk)
+    ]
+    key = circuit.input(1)[0]
+
+    outputs = []
+    for crt_idx in range(crt_depth):
+        dec_err = decrypt_error_coefficients_as_polynomial(
+            circuit, errors, key, int(moduli[crt_idx])
+        )
+        chunk = masks[crt_idx * mask_chunk : (crt_idx + 1) * mask_chunk]
+        dec_mask = decrypt_centered_bit_decomposed_polynomial(
+            circuit, chunk, key, mask_moduli
+        )
+        outputs.append(circuit.add_gate(dec_err, dec_mask))
+    circuit.output(outputs)
+    return circuit
+
+
+@dataclass
+class RefreshMaterialCts:
+    """Native Ring-GSW material ciphertexts for one refreshed wire, per
+    gadget digit: errors[digit][ring_dim], masks[digit][crt * ring_dim * v]."""
+
+    errors: list[list]
+    masks: list[list]
+
+
+class NoiseRefresherNaiveVec:
+    """Subtract-round-recompose refresher over scalar BGG wires."""
+
+    def __init__(self, params, ring_gsw_ctx, v_bits: int, hash_key: bytes):
+        self.params = params
+        self.ring_gsw = ring_gsw_ctx
+        self.v_bits = v_bits
+        self.hash_key = hash_key
+        self._hash = HashSampler()
+        self._decrypt_circuit = build_refreshed_wire_digit_all_crt_decrypt(
+            ring_gsw_ctx, v_bits
+        )
+
+    # ------------------------------------------------------------- helpers
+
+    def _a_prime(self, refresh_id: bytes) -> PolyMatrix:
+        m_g = self.params.modulus_digits
+        return self._hash.sample_hash(
+            self.params, self.hash_key,
+            b"nr_a_prime:" + refresh_id, 1, m_g, FinRingDist(),
+        )
+
+    def material_wire_values(self, material: RefreshMaterialCts) -> list[list[Poly]]:
+        """Flatten native material cts to per-digit constant input polys for
+        the decrypt circuit (errors then masks, circuit input order)."""
+        out = []
+        for digit_idx in range(len(material.errors)):
+            vals: list[Poly] = []
+            for ct in material.errors[digit_idx]:
+                vals.extend(encode_ciphertext_inputs(self.ring_gsw, ct))
+            for ct in material.masks[digit_idx]:
+                vals.extend(encode_ciphertext_inputs(self.ring_gsw, ct))
+            out.append(vals)
+        return out
+
+    def _lift(self, one_wire, values: list[Poly]):
+        """Lift constant polys onto BGG wires by scalar-multiplying `one`
+        (the reference's ciphertext_inputs_from_native lift)."""
+        return [one_wire.large_scalar_mul(self.params, v.coeffs()) for v in values]
+
+    def _decoded_wires(self, one_wire, k_wire, material_values, plt_evaluator):
+        """Evaluate the all-CRT decrypt circuit per digit; returns
+        decoded[digit][crt] wires."""
+        decoded = []
+        for vals in material_values:
+            inputs = self._lift(one_wire, vals) + [k_wire]
+            outs = self._decrypt_circuit.eval(
+                self.params, one_wire, inputs, plt_evaluator=plt_evaluator
+            )
+            decoded.append(outs)
+        return decoded
+
+    def _term_matrix(self, decoded_digit_crt, crt_idx: int, extract) -> PolyMatrix:
+        """Refresh-term matrix for one CRT level: per gadget digit j, select
+        the decoded wire's value column (unit-column matrix_mul) and embed it
+        at column j (reference embed_projected_digit_matrix)."""
+        params = self.params
+        m_g = params.modulus_digits
+        unit = PolyMatrix.identity(params, 1)  # d=1: G^{-1}(I_1) value select
+        cols = [None] * m_g
+        for digit_idx, per_crt in enumerate(decoded_digit_crt):
+            wire = per_crt[crt_idx]
+            sel = extract(wire.matrix_mul(params, unit))  # 1 x 1
+            cols[digit_idx] = sel
+        zero = PolyMatrix.zero(params, 1, 1)
+        cols = [c if c is not None else zero for c in cols]
+        return cols[0].concat_columns(cols[1:])
+
+    # ------------------------------------------------------------ offline
+
+    def preprocess(self, refresh_id: bytes, one_pk: BggPublicKey,
+                   input_pk: BggPublicKey, k_pk: BggPublicKey,
+                   material: RefreshMaterialCts, plt_evaluator):
+        """Pubkey path: returns (a_prime pubkey, refresh-key matrices T_i).
+        The caller persists trapdoor preimages of [T_i; 0] as decoders
+        (reference preprocess_from_decoded + DiamondIO refresh preimages)."""
+        with span("noise_refresh.preprocess", refresh_id=refresh_id.hex()[:12]):
+            params = self.params
+            a_prime = self._a_prime(refresh_id)
+            gadget = PolyMatrix.gadget_matrix(params, 1)
+            vals = self.material_wire_values(material)
+            decoded = self._decoded_wires(one_pk, k_pk, vals, plt_evaluator)
+            refresh_keys = []
+            for crt_idx, q_i in enumerate(params.moduli):
+                qhat = params.modulus // int(q_i)
+                input_term = input_pk.matrix_mul(
+                    params, gadget.mul_int_scalar(qhat)
+                ).matrix
+                one_term = one_pk.matrix_mul(
+                    params, a_prime.mul_int_scalar(qhat)
+                ).matrix
+                refresh_term = self._term_matrix(
+                    decoded, crt_idx, lambda w: w.matrix
+                )
+                refresh_keys.append(input_term + refresh_term - one_term)
+            return BggPublicKey(a_prime, True), refresh_keys
+
+    # ------------------------------------------------------------- online
+
+    def online_eval(self, refresh_id: bytes, one_enc: BggEncoding,
+                    input_enc: BggEncoding, k_enc: BggEncoding,
+                    material: RefreshMaterialCts, decoders: list[PolyMatrix],
+                    plt_evaluator) -> BggEncoding:
+        """Encoding path: decoders[crt_idx] = state0 @ stored_preimage(T_i)."""
+        with span("noise_refresh.online_eval", refresh_id=refresh_id.hex()[:12]):
+            params = self.params
+            a_prime = self._a_prime(refresh_id)
+            gadget = PolyMatrix.gadget_matrix(params, 1)
+            vals = self.material_wire_values(material)
+            decoded = self._decoded_wires(one_enc, k_enc, vals, plt_evaluator)
+            acc = None
+            for crt_idx, q_i in enumerate(params.moduli):
+                qhat = params.modulus // int(q_i)
+                input_term = input_enc.matrix_mul(
+                    params, gadget.mul_int_scalar(qhat)
+                ).vector
+                one_term = one_enc.matrix_mul(
+                    params, a_prime.mul_int_scalar(qhat)
+                ).vector
+                refresh_term = self._term_matrix(
+                    decoded, crt_idx, lambda w: w.vector
+                )
+                level = input_term + refresh_term - one_term - decoders[crt_idx]
+                rounded = level.modulus_switch(int(q_i))
+                reconst = (
+                    params.modulus // int(q_i)
+                    * pow(params.modulus // int(q_i), -1, int(q_i))
+                    % params.modulus
+                )
+                term = rounded.mul_int_scalar(reconst)
+                acc = term if acc is None else acc + term
+            return BggEncoding(acc, BggPublicKey(a_prime, True), input_enc.plaintext)
