@@ -56,42 +56,59 @@ from .circuit_decrypt import (
 from ..decoder.mask_circuit import mask_plaintext_moduli_from_full_modulus
 
 
-def build_refreshed_wire_digit_all_crt_decrypt(ring_gsw_ctx, v_bits: int) -> PolyCircuit:
+def build_refreshed_wire_digit_all_crt_decrypt(ring_gsw_ctx, v_bits: int,
+                                               n_coeffs: int | None = None,
+                                               mask_levels: int | None = None
+                                               ) -> PolyCircuit:
     """All-CRT decrypt circuit for one gadget digit of one refreshed wire
     (reference circuit_decrypt.rs build_refreshed_wire_digit_all_crt_decrypt).
 
-    Inputs: ring_dim error ciphertexts, then crt_depth * ring_dim * v_bits
+    Inputs: n_coeffs error ciphertexts, then mask_levels * n_coeffs * v_bits
     mask ciphertexts, then the decryption-key wire. Outputs: per CRT level,
     ONE merged wire (decoded_error + decoded_mask) — the reference emits the
     pair and merges in circuit_merge; merging here inline saves wires.
     Error decryption uses plaintext modulus q_i, so the decoded error value
-    is (q/q_i)-scaled — the property the rounding relies on."""
+    is (q/q_i)-scaled — the property the rounding relies on.
+
+    n_coeffs defaults to ring_dim (full coefficient masking); mask_levels
+    defaults to crt_depth (independent masks per level). mask_levels=1 is the
+    reference's debug_reuse_single_material shape: the same mask ciphertexts
+    feed every level (hiding weakens, correctness unaffected)."""
     assert v_bits > 0
     circuit = ring_gsw_ctx.fresh_circuit()
     params = ring_gsw_ctx.params
-    ring_dim = params.n
+    n_coeffs = params.n if n_coeffs is None else n_coeffs
     crt_depth = params.crt_depth
+    mask_levels = crt_depth if mask_levels is None else mask_levels
     moduli = params.moduli
-    mask_chunk = ring_dim * v_bits
+    mask_chunk = n_coeffs * v_bits
     mask_moduli = mask_plaintext_moduli_from_full_modulus(ring_gsw_ctx.q_big, v_bits)
 
-    errors = [RingGswCiphertext.input(ring_gsw_ctx, circuit) for _ in range(ring_dim)]
+    errors = [RingGswCiphertext.input(ring_gsw_ctx, circuit) for _ in range(n_coeffs)]
     masks = [
         RingGswCiphertext.input(ring_gsw_ctx, circuit)
-        for _ in range(crt_depth * mask_chunk)
+        for _ in range(mask_levels * mask_chunk)
     ]
     key = circuit.input(1)[0]
+
+    dec_masks: dict[int, int] = {}
+
+    def mask_wire(mask_lvl: int) -> int:
+        if mask_lvl not in dec_masks:
+            chunk = masks[mask_lvl * mask_chunk : (mask_lvl + 1) * mask_chunk]
+            dec_masks[mask_lvl] = decrypt_centered_bit_decomposed_polynomial(
+                circuit, chunk, key, mask_moduli
+            )
+        return dec_masks[mask_lvl]
 
     outputs = []
     for crt_idx in range(crt_depth):
         dec_err = decrypt_error_coefficients_as_polynomial(
             circuit, errors, key, int(moduli[crt_idx])
         )
-        chunk = masks[crt_idx * mask_chunk : (crt_idx + 1) * mask_chunk]
-        dec_mask = decrypt_centered_bit_decomposed_polynomial(
-            circuit, chunk, key, mask_moduli
+        outputs.append(
+            circuit.add_gate(dec_err, mask_wire(min(crt_idx, mask_levels - 1)))
         )
-        outputs.append(circuit.add_gate(dec_err, dec_mask))
     circuit.output(outputs)
     return circuit
 
@@ -114,9 +131,20 @@ class NoiseRefresherNaiveVec:
         self.v_bits = v_bits
         self.hash_key = hash_key
         self._hash = HashSampler()
-        self._decrypt_circuit = build_refreshed_wire_digit_all_crt_decrypt(
-            ring_gsw_ctx, v_bits
-        )
+        self._decrypt_circuits: dict[tuple[int, int], PolyCircuit] = {}
+
+    def _decrypt_circuit(self, n_errors: int, n_masks: int) -> PolyCircuit:
+        """Decrypt circuit cached per material shape (n error cts, total mask
+        cts for one digit)."""
+        mask_chunk = n_errors * self.v_bits
+        mask_levels = max(1, n_masks // mask_chunk)
+        assert mask_levels * mask_chunk == n_masks, (n_errors, n_masks, self.v_bits)
+        key = (n_errors, n_masks)
+        if key not in self._decrypt_circuits:
+            self._decrypt_circuits[key] = build_refreshed_wire_digit_all_crt_decrypt(
+                self.ring_gsw, self.v_bits, n_coeffs=n_errors, mask_levels=mask_levels
+            )
+        return self._decrypt_circuits[key]
 
     # ------------------------------------------------------------- helpers
 
@@ -145,13 +173,17 @@ class NoiseRefresherNaiveVec:
         (the reference's ciphertext_inputs_from_native lift)."""
         return [one_wire.large_scalar_mul(self.params, v.coeffs()) for v in values]
 
-    def _decoded_wires(self, one_wire, k_wire, material_values, plt_evaluator):
+    def _decoded_wires(self, one_wire, k_wire, material, material_values,
+                       plt_evaluator):
         """Evaluate the all-CRT decrypt circuit per digit; returns
         decoded[digit][crt] wires."""
         decoded = []
-        for vals in material_values:
+        for digit_idx, vals in enumerate(material_values):
+            circuit = self._decrypt_circuit(
+                len(material.errors[digit_idx]), len(material.masks[digit_idx])
+            )
             inputs = self._lift(one_wire, vals) + [k_wire]
-            outs = self._decrypt_circuit.eval(
+            outs = circuit.eval(
                 self.params, one_wire, inputs, plt_evaluator=plt_evaluator
             )
             decoded.append(outs)
@@ -186,7 +218,7 @@ class NoiseRefresherNaiveVec:
             a_prime = self._a_prime(refresh_id)
             gadget = PolyMatrix.gadget_matrix(params, 1)
             vals = self.material_wire_values(material)
-            decoded = self._decoded_wires(one_pk, k_pk, vals, plt_evaluator)
+            decoded = self._decoded_wires(one_pk, k_pk, material, vals, plt_evaluator)
             refresh_keys = []
             for crt_idx, q_i in enumerate(params.moduli):
                 qhat = params.modulus // int(q_i)
@@ -214,7 +246,7 @@ class NoiseRefresherNaiveVec:
             a_prime = self._a_prime(refresh_id)
             gadget = PolyMatrix.gadget_matrix(params, 1)
             vals = self.material_wire_values(material)
-            decoded = self._decoded_wires(one_enc, k_enc, vals, plt_evaluator)
+            decoded = self._decoded_wires(one_enc, k_enc, material, vals, plt_evaluator)
             acc = None
             for crt_idx, q_i in enumerate(params.moduli):
                 qhat = params.modulus // int(q_i)
