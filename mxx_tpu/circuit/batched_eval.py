@@ -1,0 +1,406 @@
+"""Level-batched circuit evaluation over BGG wires.
+
+TPU-build of the reference's level-parallel evaluator
+(/root/reference/src/circuit/poly_circuit/eval.rs:210-921 with
+MXX_CIRCUIT_PARALLEL_GATES, analysis.rs GroupedExecutionPlan): gates are
+walked level by level; same-kind same-shape gates within a level collapse
+into ONE device program over a row-stacked operand tensor. Where the
+reference fans gates across rayon threads / GPU streams, the TPU-native
+answer is a bigger array: stacking B one-row wires gives [L, B, m, n]
+operands that the existing exact kernels (ew_*, zq_matmul, digit_decompose)
+consume unchanged, so batched results are bit-identical to sequential ones.
+
+Batched kinds: Add/Sub/Mul/SmallScalarMul/LargeScalarMul over
+BggEncoding/BggPublicKey wires (the gate soup of nested-RNS circuits).
+Everything else (PubLut, slot gates, sub-circuit calls, foreign wire types)
+falls back to the sequential per-gate path inside the same level walk, so
+`eval_batched` accepts any circuit `eval` accepts.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops.decompose import digit_decompose
+from ..ops.elementwise import ew_add, ew_mul, ew_sub
+from ..ops.zq_matmul import zq_matmul
+from .gate import (
+    ADD,
+    INPUT,
+    LARGE_SCALAR_MUL,
+    MUL,
+    SMALL_SCALAR_MUL,
+    SUB,
+)
+
+MIN_BATCH = 3
+PAD_POW2 = False
+
+_BATCHABLE = {ADD, SUB, MUL, SMALL_SCALAR_MUL, LARGE_SCALAR_MUL}
+
+
+def _pad_pow2(items: list) -> list:
+    """Identity by default: padding batch widths to powers of two bounds XLA
+    compile variants but measurably loses at small widths (the repeated tail
+    is real compute); large-scale benches can re-enable via PAD_POW2."""
+    if not PAD_POW2:
+        return items
+    n = len(items)
+    target = 1
+    while target < n:
+        target *= 2
+    return items + [items[-1]] * (target - n)
+
+
+def _is_bgg(w) -> bool:
+    from ..bgg import BggEncoding, BggPublicKey
+
+    return isinstance(w, (BggEncoding, BggPublicKey))
+
+
+def _wire_sig(circuit, wires, g):
+    """Group signature: gates with equal signatures batch together."""
+    from ..bgg import BggEncoding, BggPublicKey
+
+    ins = [wires[i] for i in g.inputs]
+    if not all(_is_bgg(w) for w in ins):
+        return None
+    kinds = tuple(type(w).__name__ for w in ins)
+    shapes = []
+    for w in ins:
+        m = w.vector if isinstance(w, BggEncoding) else w.matrix
+        shapes.append(m.shape)
+        if isinstance(w, BggEncoding):
+            shapes.append(w.pubkey.matrix.shape)
+    if g.kind == MUL:
+        left = ins[0]
+        if not isinstance(left, BggEncoding) or left.plaintext is None:
+            return None
+    return (g.kind, kinds, tuple(shapes))
+
+
+def _stack(mats, params):
+    """Row-concatenate one-row (or equal-shape) PolyMatrix EVAL datas along a
+    fresh batch axis folded into rows: [L, B*r, c, n]."""
+    datas = [m.to_eval().data for m in mats]
+    return jnp.concatenate(datas, axis=1)
+
+
+def _unstack(params, data, count, rows):
+    from ..matrix import PolyMatrix
+    from ..ring.poly import EVAL
+
+    return [
+        PolyMatrix(data[:, i * rows : (i + 1) * rows], EVAL, params)
+        for i in range(count)
+    ]
+
+
+def _stack_polys(polys, params):
+    datas = [p.to_eval().data for p in polys]  # each [L, n]
+    return jnp.stack(datas, axis=1)  # [L, B, n]
+
+
+def _batched_ew(kind, params, a_data, b_data):
+    jt = params.jt
+    if kind == ADD:
+        return ew_add(a_data, b_data, jt.moduli)
+    return ew_sub(a_data, b_data, jt.moduli)
+
+
+def _exec_add_sub(circuit, params, gates, wires):
+    from ..bgg import BggEncoding, BggPublicKey
+
+    n_real = len(gates)
+    gates = _pad_pow2(list(gates))
+    ins_a = [wires[g.inputs[0]] for g in gates]
+    ins_b = [wires[g.inputs[1]] for g in gates]
+    kind = gates[0].kind
+    enc = isinstance(ins_a[0], BggEncoding)
+    if enc:
+        rows = ins_a[0].vector.nrow
+        vec = _batched_ew(
+            kind, params,
+            _stack([w.vector for w in ins_a], params),
+            _stack([w.vector for w in ins_b], params),
+        )
+        vecs = _unstack(params, vec, len(gates), rows)
+    prow = (ins_a[0].pubkey.matrix if enc else ins_a[0].matrix).nrow
+    pk = _batched_ew(
+        kind, params,
+        _stack([(w.pubkey.matrix if enc else w.matrix) for w in ins_a], params),
+        _stack([(w.pubkey.matrix if enc else w.matrix) for w in ins_b], params),
+    )
+    pks = _unstack(params, pk, len(gates), prow)
+    outs = []
+    for i in range(n_real):
+        a, b = ins_a[i], ins_b[i]
+        if enc:
+            pt = (
+                (a.plaintext + b.plaintext if kind == ADD else a.plaintext - b.plaintext)
+                if a.plaintext is not None and b.plaintext is not None
+                else None
+            )
+            reveal = a.pubkey.reveal_plaintext and b.pubkey.reveal_plaintext
+            outs.append(BggEncoding(vecs[i], BggPublicKey(pks[i], reveal), pt))
+        else:
+            outs.append(BggPublicKey(pks[i], a.reveal_plaintext and b.reveal_plaintext))
+    return outs
+
+
+def _scalar_polys(params, gates, resolve):
+    from ..ring.poly import Poly
+
+    out = []
+    for g in gates:
+        coeffs = list(resolve(g))
+        coeffs = coeffs + [0] * (params.n - len(coeffs))
+        out.append(Poly.from_int_coeffs(params, coeffs))
+    return out
+
+
+def _exec_scalar_mul(circuit, params, gates, wires, resolve):
+    """SmallScalarMul batched: elementwise multiply by per-gate scalar polys."""
+    from ..bgg import BggEncoding, BggPublicKey
+
+    n_real = len(gates)
+    gates = _pad_pow2(list(gates))
+    ins = [wires[g.inputs[0]] for g in gates]
+    scalars = _scalar_polys(params, gates, resolve)
+    s_data = _stack_polys(scalars, params)  # [L, B, n]
+    jt = params.jt
+    enc = isinstance(ins[0], BggEncoding)
+    B = len(gates)
+
+    def mul_stacked(mats):
+        rows = mats[0].nrow
+        data = _stack(mats, params)  # [L, B*rows, c, n]
+        s = jnp.repeat(s_data, rows, axis=1)[:, :, None, :]  # [L, B*rows, 1, n]
+        return _unstack(params, ew_mul(data, s, jt.moduli, jt.qinv_neg, jt.r2), B, rows)
+
+    pks = mul_stacked([(w.pubkey.matrix if enc else w.matrix) for w in ins])
+    if enc:
+        vecs = mul_stacked([w.vector for w in ins])
+    outs = []
+    for i in range(n_real):
+        w = ins[i]
+        if enc:
+            pt = w.plaintext * scalars[i] if w.plaintext is not None else None
+            outs.append(BggEncoding(vecs[i], BggPublicKey(pks[i], w.pubkey.reveal_plaintext), pt))
+        else:
+            outs.append(BggPublicKey(pks[i], w.reveal_plaintext))
+    return outs
+
+
+def _vmapped_matmul(params, a_data, b_data):
+    """[B, L, r, k, n] @ [B, L, k, c, n] via one vmapped exact matmul."""
+    import jax
+
+    jt = params.jt
+    fn = jax.vmap(zq_matmul, in_axes=(0, 0, None, None, None, None))
+    return fn(a_data, b_data, jt.moduli, jt.qinv_neg, jt.combine_pows_mont, jt.sign_corr_pows)
+
+
+def _batched_decompose(params, mats):
+    """Decompose B equal-shape matrices in one program and NTT to EVAL form:
+    returns [B, L, r*k, c, n] ready for the exact matmul."""
+    from ..ring.ntt import ntt_fwd
+
+    data = jnp.concatenate([m.to_coeff().data for m in mats], axis=1)  # [L, B*r, c, n]
+    p = params
+    dec = digit_decompose(
+        data, p.jt.moduli, p.jt.digit_masks,
+        base_bits=p.base_bits, dpt=p.digits_per_tower, towers=p.crt_depth,
+    )  # [L, B*r*k, c, n] COEFF
+    dec = ntt_fwd(dec, p.jt.psi_rev_mont, p.jt.moduli, p.jt.qinv_neg)
+    B = len(mats)
+    r = mats[0].nrow
+    k = p.modulus_digits
+    L, _, c, n = dec.shape
+    return jnp.transpose(dec.reshape(L, B, r * k, c, n), (1, 0, 2, 3, 4))
+
+
+def _to_eval_stackb(params, mats):
+    """[B, L, r, c, n] from equal-shape matrices."""
+    data = jnp.concatenate([m.to_eval().data for m in mats], axis=1)
+    B = len(mats)
+    r = mats[0].nrow
+    L, _, c, n = data.shape
+    return jnp.transpose(data.reshape(L, B, r, c, n), (1, 0, 2, 3, 4))
+
+
+def _exec_mul(circuit, params, gates, wires):
+    """BGG mul batched: out = a.vector @ G^{-1}(A_b) + x_a * b.vector."""
+    from ..bgg import BggEncoding, BggPublicKey
+    from ..matrix import PolyMatrix
+    from ..ring.poly import EVAL
+
+    n_real = len(gates)
+    gates = _pad_pow2(list(gates))
+    ins_a = [wires[g.inputs[0]] for g in gates]
+    ins_b = [wires[g.inputs[1]] for g in gates]
+    enc_b = isinstance(ins_b[0], BggEncoding)
+    enc_a = isinstance(ins_a[0], BggEncoding)
+    B = len(gates)
+    pk_b = [(w.pubkey.matrix if enc_b else w.matrix) for w in ins_b]
+    dec = _batched_decompose(params, pk_b)  # [B, L, m, c, n]
+    pk_a = [(w.pubkey.matrix if enc_a else w.matrix) for w in ins_a]
+    a_pk = _to_eval_stackb(params, pk_a)
+    out_pk = _vmapped_matmul(params, a_pk, dec)
+    jt = params.jt
+    outs_pk = [
+        PolyMatrix(out_pk[i], EVAL, params) for i in range(B)
+    ]
+    if enc_a and enc_b:
+        a_vec = _to_eval_stackb(params, [w.vector for w in ins_a])
+        first = _vmapped_matmul(params, a_vec, dec)
+        x_a = _stack_polys([w.plaintext for w in ins_a], params)  # [L, B, n]
+        b_vec = _stack([w.vector for w in ins_b], params)  # [L, B*r, c, n]
+        rows = ins_b[0].vector.nrow
+        x_rep = jnp.repeat(x_a, rows, axis=1)[:, :, None, :]
+        second = ew_mul(b_vec, x_rep, jt.moduli, jt.qinv_neg, jt.r2)
+        first_flat = jnp.concatenate([first[i] for i in range(B)], axis=1)
+        vec = ew_add(first_flat, second, jt.moduli)
+        vecs = _unstack(params, vec, B, rows)
+        outs = []
+        for i in range(n_real):
+            a, b = ins_a[i], ins_b[i]
+            reveal = a.pubkey.reveal_plaintext and b.pubkey.reveal_plaintext
+            pt = (
+                a.plaintext * b.plaintext
+                if a.plaintext is not None and b.plaintext is not None
+                else None
+            )
+            outs.append(BggEncoding(vecs[i], BggPublicKey(outs_pk[i], reveal), pt))
+        return outs
+    return [
+        BggPublicKey(outs_pk[i], ins_a[i].reveal_plaintext and ins_b[i].reveal_plaintext)
+        for i in range(n_real)
+    ]
+
+
+def _exec_large_scalar_mul(circuit, params, gates, wires, resolve):
+    """LSM batched: out = w @ G^{-1}(c * G) per gate scalar c."""
+    from ..bgg import BggEncoding, BggPublicKey
+    from ..matrix import PolyMatrix
+    from ..ring.poly import EVAL
+
+    n_real = len(gates)
+    gates = _pad_pow2(list(gates))
+    ins = [wires[g.inputs[0]] for g in gates]
+    enc = isinstance(ins[0], BggEncoding)
+    B = len(gates)
+    scalars = _scalar_polys(params, gates, resolve)
+    d = (ins[0].pubkey.matrix if enc else ins[0].matrix).nrow
+    gadget = PolyMatrix.gadget_matrix(params, d)
+    jt = params.jt
+    s_data = _stack_polys(scalars, params)  # [L, B, n]
+    g_data = gadget.to_eval().data  # [L, d, m, n]
+    sg = ew_mul(
+        jnp.tile(g_data, (1, B, 1, 1)),
+        jnp.repeat(s_data, d, axis=1)[:, :, None, :],
+        jt.moduli, jt.qinv_neg, jt.r2,
+    )  # [L, B*d, m, n]
+    sg_mats = _unstack(params, sg, B, d)
+    dec = _batched_decompose(params, sg_mats)  # [B, L, d*k, m, n]
+    pk_in = _to_eval_stackb(params, [(w.pubkey.matrix if enc else w.matrix) for w in ins])
+    out_pk = _vmapped_matmul(params, pk_in, dec)
+    pks = [PolyMatrix(out_pk[i], EVAL, params) for i in range(B)]
+    if enc:
+        vec_in = _to_eval_stackb(params, [w.vector for w in ins])
+        out_vec = _vmapped_matmul(params, vec_in, dec)
+        outs = []
+        for i in range(n_real):
+            w = ins[i]
+            pt = w.plaintext * scalars[i] if w.plaintext is not None else None
+            outs.append(
+                BggEncoding(
+                    PolyMatrix(out_vec[i], EVAL, params),
+                    BggPublicKey(pks[i], w.pubkey.reveal_plaintext),
+                    pt,
+                )
+            )
+        return outs
+    return [BggPublicKey(pks[i], ins[i].reveal_plaintext) for i in range(n_real)]
+
+
+def eval_batched(circuit, params, one, inputs, plt_evaluator=None,
+                 slot_transfer_evaluator=None, param_bindings: tuple = ()):
+    """Drop-in for PolyCircuit.eval with level-grouped batched device ops.
+    Results are bit-identical to the sequential evaluator."""
+    assert len(inputs) == circuit.num_input
+    uses = circuit.use_counts()
+    wires = {0: one}
+    for i, v in enumerate(inputs):
+        wires[i + 1] = v
+    remaining = list(uses)
+    out_set = set(circuit.output_ids)
+    call_cache: dict = {}
+    summed_cache: dict = {}
+
+    def consume(gate):
+        for i in gate.inputs:
+            remaining[i] -= 1
+            if remaining[i] == 0 and i not in out_set:
+                wires.pop(i, None)
+
+    def eval_sub(circuit_id, sub_inputs, bindings):
+        sub = circuit.sub_circuits[circuit_id]
+        return eval_batched(
+            sub, params, one, sub_inputs, plt_evaluator,
+            slot_transfer_evaluator, param_bindings=bindings,
+        )
+
+    def eval_one(g):
+        """Sequential fallback, mirroring PolyCircuit.eval's dispatch."""
+        wires[g.gate_id] = circuit._gate_dispatch(
+            g, wires, params, one, plt_evaluator, slot_transfer_evaluator,
+            param_bindings, call_cache, summed_cache, eval_sub,
+        )
+
+    for level in circuit.compute_levels():
+        # group batchable gates by signature
+        groups: dict = {}
+        singles = []
+        for gid in level:
+            g = circuit.gates[gid]
+            if g.kind in _BATCHABLE:
+                sig = _wire_sig(circuit, wires, g)
+                if sig is not None:
+                    groups.setdefault(sig, []).append(g)
+                    continue
+            singles.append(g)
+        for sig, gates in groups.items():
+            if len(gates) < MIN_BATCH:
+                singles.extend(gates)
+                continue
+            kind = sig[0]
+            if kind in (ADD, SUB):
+                outs = _exec_add_sub(circuit, params, gates, wires)
+            elif kind == SMALL_SCALAR_MUL:
+                outs = _exec_scalar_mul(
+                    circuit, params, gates, wires,
+                    lambda g: circuit._resolve_payload(g.payload, param_bindings),
+                )
+            elif kind == LARGE_SCALAR_MUL:
+                outs = _exec_large_scalar_mul(
+                    circuit, params, gates, wires,
+                    lambda g: circuit._resolve_payload(g.payload, param_bindings),
+                )
+            elif kind == MUL:
+                outs = _exec_mul(circuit, params, gates, wires)
+            else:  # pragma: no cover
+                singles.extend(gates)
+                continue
+            for g, out in zip(gates, outs):
+                wires[g.gate_id] = out
+                consume(g)
+        # deterministic order for the sequential remainder
+        for g in sorted(singles, key=lambda g: g.gate_id):
+            if g.kind == INPUT:
+                continue
+            eval_one(g)
+            consume(g)
+        singles.clear()
+
+    return [wires[o] for o in circuit.output_ids]

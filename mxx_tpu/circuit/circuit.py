@@ -361,6 +361,63 @@ class PolyCircuit:
             return bindings[payload[1]]
         return payload
 
+    def _gate_dispatch(self, g, wires, params, one, plt_evaluator,
+                       slot_transfer_evaluator, param_bindings,
+                       call_cache, summed_cache, eval_sub):
+        """Evaluate one non-Input gate against resolved input wires."""
+        ins = [wires[i] for i in g.inputs]
+        if g.kind == ADD:
+            return ins[0] + ins[1]
+        if g.kind == SUB:
+            return ins[0] - ins[1]
+        if g.kind == MUL:
+            return ins[0] * ins[1]
+        if g.kind == SMALL_SCALAR_MUL:
+            scalar = self._resolve_payload(g.payload, param_bindings)
+            return ins[0].small_scalar_mul(params, list(scalar))
+        if g.kind == LARGE_SCALAR_MUL:
+            scalar = self._resolve_payload(g.payload, param_bindings)
+            return ins[0].large_scalar_mul(params, list(scalar))
+        if g.kind == PUB_LUT:
+            assert plt_evaluator is not None, "PubLut gate requires a plt_evaluator"
+            lut = self.luts[g.payload]
+            return plt_evaluator.public_lookup(params, lut, one, ins[0], g.gate_id, g.payload)
+        if g.kind == SLOT_TRANSFER:
+            assert slot_transfer_evaluator is not None, (
+                "SlotTransfer gate requires a slot_transfer_evaluator"
+            )
+            spec = self._resolve_payload(g.payload, param_bindings)
+            return slot_transfer_evaluator.slot_transfer(
+                params, ins[0], spec.materialize(), g.gate_id
+            )
+        if g.kind == SLOT_REDUCE:
+            assert slot_transfer_evaluator is not None, (
+                "SlotReduce gate requires a slot_transfer_evaluator"
+            )
+            return slot_transfer_evaluator.slot_reduce(params, ins, g.payload, g.gate_id)
+        if g.kind == SUB_CIRCUIT_OUTPUT:
+            call_id, out_idx = g.payload
+            if call_id not in call_cache:
+                call = self.sub_circuit_calls[call_id]
+                call_cache[call_id] = eval_sub(call.sub_circuit_id, ins, call.param_bindings)
+            return call_cache[call_id][out_idx]
+        if g.kind == SUMMED_SUB_CIRCUIT_OUTPUT:
+            summed_id, out_idx = g.payload
+            if summed_id not in summed_cache:
+                call = self.summed_sub_circuit_calls[summed_id]
+                acc = None
+                off = 0
+                for set_idx, inp_set in enumerate(call.call_inputs):
+                    sub_ins = ins[off : off + len(inp_set)]
+                    off += len(inp_set)
+                    outs = eval_sub(
+                        call.sub_circuit_id, sub_ins, call.param_bindings[set_idx]
+                    )
+                    acc = outs if acc is None else [a + b for a, b in zip(acc, outs)]
+                summed_cache[summed_id] = acc
+            return summed_cache[summed_id][out_idx]
+        raise NotImplementedError(f"gate kind {g.kind}")
+
     def eval(
         self,
         params,
@@ -369,6 +426,7 @@ class PolyCircuit:
         plt_evaluator=None,
         slot_transfer_evaluator=None,
         param_bindings: tuple = (),
+        batched: bool = False,
     ) -> list:
         """Evaluate the circuit over wires of any Evaluable-like type.
 
@@ -376,10 +434,21 @@ class PolyCircuit:
         the user Input gates in order (reference eval.rs:232-264). Gates are
         evaluated in topological (id) order, wires freed by use count; sub-
         circuit calls recurse with their bound parameters (subcircuits.rs).
+
+        `batched=True` switches to the level-grouped batched evaluator
+        (batched_eval.py) — bit-identical results, same-kind gates per level
+        collapsed into single device programs.
         """
         assert len(inputs) == self.num_input, (
             f"expected {self.num_input} inputs, got {len(inputs)}"
         )
+        if batched:
+            from .batched_eval import eval_batched
+
+            return eval_batched(
+                self, params, one, inputs, plt_evaluator,
+                slot_transfer_evaluator, param_bindings,
+            )
         uses = self.use_counts()
         wires: dict[int, Any] = {0: one}
         for i, v in enumerate(inputs):
@@ -408,59 +477,10 @@ class PolyCircuit:
         for g in self.gates:
             if g.kind == INPUT:
                 continue
-            ins = [wires[i] for i in g.inputs]
-            if g.kind == ADD:
-                out = ins[0] + ins[1]
-            elif g.kind == SUB:
-                out = ins[0] - ins[1]
-            elif g.kind == MUL:
-                out = ins[0] * ins[1]
-            elif g.kind == SMALL_SCALAR_MUL:
-                scalar = self._resolve_payload(g.payload, param_bindings)
-                out = ins[0].small_scalar_mul(params, list(scalar))
-            elif g.kind == LARGE_SCALAR_MUL:
-                scalar = self._resolve_payload(g.payload, param_bindings)
-                out = ins[0].large_scalar_mul(params, list(scalar))
-            elif g.kind == PUB_LUT:
-                assert plt_evaluator is not None, "PubLut gate requires a plt_evaluator"
-                lut = self.luts[g.payload]
-                out = plt_evaluator.public_lookup(params, lut, one, ins[0], g.gate_id, g.payload)
-            elif g.kind == SLOT_TRANSFER:
-                assert slot_transfer_evaluator is not None, (
-                    "SlotTransfer gate requires a slot_transfer_evaluator"
-                )
-                spec = self._resolve_payload(g.payload, param_bindings)
-                out = slot_transfer_evaluator.slot_transfer(
-                    params, ins[0], spec.materialize(), g.gate_id
-                )
-            elif g.kind == SLOT_REDUCE:
-                assert slot_transfer_evaluator is not None, (
-                    "SlotReduce gate requires a slot_transfer_evaluator"
-                )
-                out = slot_transfer_evaluator.slot_reduce(params, ins, g.payload, g.gate_id)
-            elif g.kind == SUB_CIRCUIT_OUTPUT:
-                call_id, out_idx = g.payload
-                if call_id not in call_cache:
-                    call = self.sub_circuit_calls[call_id]
-                    call_cache[call_id] = eval_sub(call.sub_circuit_id, ins, call.param_bindings)
-                out = call_cache[call_id][out_idx]
-            elif g.kind == SUMMED_SUB_CIRCUIT_OUTPUT:
-                summed_id, out_idx = g.payload
-                if summed_id not in summed_cache:
-                    call = self.summed_sub_circuit_calls[summed_id]
-                    acc = None
-                    off = 0
-                    for set_idx, inp_set in enumerate(call.call_inputs):
-                        sub_ins = ins[off : off + len(inp_set)]
-                        off += len(inp_set)
-                        outs = eval_sub(
-                            call.sub_circuit_id, sub_ins, call.param_bindings[set_idx]
-                        )
-                        acc = outs if acc is None else [a + b for a, b in zip(acc, outs)]
-                    summed_cache[summed_id] = acc
-                out = summed_cache[summed_id][out_idx]
-            else:
-                raise NotImplementedError(f"gate kind {g.kind}")
+            out = self._gate_dispatch(
+                g, wires, params, one, plt_evaluator, slot_transfer_evaluator,
+                param_bindings, call_cache, summed_cache, eval_sub,
+            )
             for i in g.inputs:
                 consume(i)
             wires[g.gate_id] = out

@@ -269,6 +269,23 @@ class NestedRnsPoly:
             trace_bounds=[ctx.p_max - 1] * len(active),
         )
 
+    @staticmethod
+    def from_wires(ctx: NestedRnsPolyContext, circuit_wires,
+                   level_offset: int = 0, enable_levels: int | None = None
+                   ) -> "NestedRnsPoly":
+        """Rebuild a nested poly from existing gate ids in `flatten()` order
+        (wires produced by input gates, const gates, or sub-circuit calls)."""
+        active = ctx.active_q(level_offset, enable_levels)
+        k = ctx.k
+        ids = list(circuit_wires)
+        assert len(ids) == len(active) * k, (len(ids), len(active), k)
+        wires = [ids[lvl * k : (lvl + 1) * k] for lvl in range(len(active))]
+        return NestedRnsPoly(
+            ctx, wires, level_offset, enable_levels,
+            value_bounds=[q - 1 for q in active],
+            trace_bounds=[ctx.p_max - 1] * len(active),
+        )
+
     def flatten(self) -> list[int]:
         return [w for lvl in self.wires for w in lvl]
 

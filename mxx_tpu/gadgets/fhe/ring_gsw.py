@@ -77,6 +77,24 @@ class RingGswCiphertext:
         )
         return RingGswCiphertext(ctx, rows, max_plaintext)
 
+    @staticmethod
+    def from_wires(ctx: RingGswContext, wires,
+                   max_plaintext: int = 1) -> "RingGswCiphertext":
+        """Rebuild a ciphertext from gate ids in `flatten()` order (existing
+        input/const/sub-circuit wires)."""
+        per_entry = ctx.nested.q_moduli_depth * ctx.nested.k
+        ids = list(wires)
+        assert len(ids) == 2 * ctx.width * per_entry, (len(ids), ctx.width, per_entry)
+        rows: tuple[list, list] = ([], [])
+        pos = 0
+        for i in range(2):
+            for _ in range(ctx.width):
+                rows[i].append(
+                    NestedRnsPoly.from_wires(ctx.nested, ids[pos : pos + per_entry])
+                )
+                pos += per_entry
+        return RingGswCiphertext(ctx, rows, max_plaintext)
+
     @property
     def width(self) -> int:
         return len(self.rows[0])

@@ -230,6 +230,21 @@ class DiamondInjector:
         raw = self._bpath(dir_path, "diamond_k_plaintext").read_bytes()
         return Poly.from_compact_bytes(self.params, raw)
 
+    def debug_final_secret_matrix(self, dir_path, input_digits: list[int]) -> PolyMatrix:
+        """TEST-ONLY: reconstruct sigma_final = s_eps * prod(level masks) from
+        the persisted secrets (reference injector debug_final_secret_matrix;
+        used by relation asserts, env.rs MXX_DIAMOND_IO_EVAL_RELATION_ASSERTS).
+        Returns the 1x1 secret sigma such that final wires satisfy
+        c = sigma (A - x G)."""
+        d = Path(dir_path)
+        sigma = self.read_matrix(d, self.secret_epsilon_id()).entry(0, 0)
+        for digit_idx, digit_value in enumerate(input_digits):
+            mask = self.read_matrix(
+                d, self.digit_secret_id(digit_idx + 1, digit_value)
+            ).entry(0, 0)
+            sigma = sigma * mask
+        return PolyMatrix.from_polys(self.params, [[sigma]])
+
     # ------------------------------------------------------------ online
 
     def online_eval(self, dir_path, preprocess_out: DiamondInjectorPreprocessOut,

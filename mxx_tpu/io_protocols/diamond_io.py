@@ -2,31 +2,45 @@
 
 TPU-build of /root/reference/src/io/diamond_io.rs (SURVEY.md §3.4-3.5).
 
-Pipeline:
-- obfuscation: hash-derived BGG pubkeys for [one]+input bits+k, ternary
-  payload k, Diamond injector preprocessing (trapdoor transition chains), the
-  LUT bridge preimage (state0 -> sigma*B_lut for online LWE lookups), GSW
-  mask ciphertexts under the key (-k, 1), offline pubkey-path evaluation of
-  the wrapped circuit, final output projection preimages (one / k / input
-  bits), and masked-decoder preimages per output.
-- eval: injector online digit threading, output encodings rebuilt from stored
-  preimages (c = sigma*(A - x*G); the k-wire carries the ABSOLUTE channel
-  c_k = sigma*A_k - k*G, diamond_io.rs:671-697), encoding-path evaluation,
-  masked high-bit decode.
+Pipeline (obfuscation):
+- ternary payload k, hash-derived BGG pubkeys, Diamond injector preprocessing
+  (trapdoor transition chains)
+- Ring-GSW seed-bit encryption under k; ciphertext values are PUBLIC and ride
+  the obfuscation (diamond_io.rs:330-388)
+- the PRF mask pipeline over PUBLIC-KEY wires (prf_mask.py): per injector
+  digit round, Goldreich-PRG seed evolution with branch-rebase preimages and
+  noise-refresh decoder preimages persisted against the final Diamond state
+  (diamond_io.rs:425-470)
+- the wrapped function circuit evaluated over pubkey wires: user outputs are
+  pushed into the absolute channel by the unit-ciphertext decrypt and masked
+  by the PRF-derived mask decrypts (NOT host-encrypted masks); output
+  projection + masked-decoder preimages persisted
 
-Masked decode (the reference's k-channel mechanism, diamond_io.rs:963-1150):
-every function output is pushed into the absolute plaintext channel by
-multiplying with the decrypt combination of a GSW "unit" ciphertext
-Enc_{(-k,1)}(1): sd_u = const(top_u) * (-k wire) has absolute plaintext
--k*top_u, and -k*top_u + bottom_u = (Q/2)*1 exactly. Adding a per-output
-zero-mask ciphertext channel (-k*top_m + bottom_m = 0 + e) yields
+Pipeline (eval):
+- injector online digit threading; one/k/input output encodings from stored
+  preimages (c = sigma (A - x G); diamond_io.rs:661-744)
+- PRF mask pipeline over ENCODING wires: selected-branch PRG (or debug
+  replay), stored rebase preimages, noise-refresh online with stored decoders
+- wrapped circuit over encodings; masked high-bit decode with the PRF mask's
+  centered public bottom added as plaintext (diamond_io.rs:1053-1146)
 
-  decode = proj - c_sd_total G^{-1}(e_0) + pb_plaintext + bottom_m
-         = f * (Q/2) + noise,
+Masked decode (the k-channel mechanism, diamond_io.rs:963-1150): every
+function output f is pushed into the absolute plaintext channel by
+multiplying with the decrypt combination of a GSW unit ciphertext
+Enc_{(-k,1)}(1), and the PRF mask's secret-dependent half is added:
 
-rounded mod 2. The PRG expansion of the mask (Goldreich over nested-RNS GSW,
-all built in gadgets/) replaces the fresh mask ciphertexts in a later round —
-the in-circuit homomorphic PRG is too expensive for CI-scale parameters.
+  decode = proj - c_sd_total G^{-1}(e_0) + pb_plaintext + pb_mask_plaintext
+         = f * (Q/2) + centered_mask + noise,
+
+rounded mod 2.
+
+Deviations from the reference (documented): the obfuscated function is an
+arbitrary builder circuit (the reference's FuncType is the Goldreich PRF
+itself; the builder generalizes it — a PRF builder reproduces the reference
+exactly); k is restricted to {-1, +1} (integer-GSW payload vs the reference's
+ternary ring poly); wires are scalar (slot-packed vec wires lift slot-wise).
+LUT evaluators are injected: production uses the storage-backed LWE
+evaluators, CI tests the secret-oracle debug evaluators (lookup/debug.py).
 """
 
 from __future__ import annotations
@@ -38,14 +52,24 @@ from pathlib import Path
 
 from ..bgg import BGGPublicKeySampler, BggEncoding, BggPublicKey
 from ..decoder.masked_high_bit import decode_centered_masked_integer_coeff
-from ..gadgets.fhe.plain_gsw import decrypt_constants, native_encrypt
+from ..decoder.mask_circuit import (
+    center_public_bottom,
+    mask_plaintext_moduli_from_full_modulus,
+)
+from ..gadgets.fhe.plain_gsw import decrypt_constants
+from ..gadgets.fhe.plain_gsw import native_encrypt as plain_native_encrypt
+from ..gadgets.fhe.ring_gsw import RingGswCiphertext, encode_ciphertext_inputs, native_encrypt
+from ..gadgets.fhe_prg.goldreich import GoldreichFhePrg
 from ..input_injector import DiamondInjector, DiamondInjectorPreprocessOut
 from ..lookup.lwe import LWEBGGEncodingPltEvaluator, LWEBGGPubKeyPltEvaluator
 from ..matrix import PolyMatrix
+from ..noise_refresh.circuit_decrypt import decrypt_bit_decomposed_polynomial_parts
 from ..ring.poly import Poly
 from ..sampler import TernaryDist, TrapdoorSampler, UniformSampler
 from ..storage import init_storage_system, wait_for_all_writes
 from ..utils.rng import Drbg
+from ..utils.tracing import span
+from .prf_mask import PrfConfig, PrfDebugArtifacts, PrfMaskPipeline
 
 DIAMOND_SECRET_SIZE = 1
 
@@ -55,9 +79,9 @@ class DiamondIOObf:
     hash_key: bytes
     preprocess_out: DiamondInjectorPreprocessOut
     num_outputs: int
-    has_luts: bool
     unit_ct_consts: tuple[int, int]  # (top_u, bottom_u): -k*top_u + bottom_u = Q/2
-    mask_ct_consts: list[tuple[int, int]]  # per output: -k*top_m + bottom_m = 0 + e
+    seed_cts: list  # native Ring-GSW seed-bit ciphertexts (public values)
+    prf_debug: PrfDebugArtifacts | None  # replayed PRG material (debug mode)
 
 
 class DiamondIO:
@@ -69,6 +93,9 @@ class DiamondIO:
         trapdoor_sigma: float = 4.578,
         error_sigma: float = 0.0,
         seed: int | None = None,
+        prf_config: PrfConfig | None = None,
+        pk_plt_evaluator_factory=None,
+        enc_plt_evaluator_factory=None,
     ):
         self.params = params
         self.input_count = input_count
@@ -81,6 +108,11 @@ class DiamondIO:
         )
         self._seed = seed
         self._trap = TrapdoorSampler(params, trapdoor_sigma, seed=seed)
+        self.prf_config = prf_config or PrfConfig()
+        # LUT evaluator factories: production default = storage-backed LWE;
+        # tests inject the secret-oracle debug evaluators.
+        self._pk_plt_factory = pk_plt_evaluator_factory
+        self._enc_plt_factory = enc_plt_evaluator_factory
 
     @property
     def num_input_bits(self) -> int:
@@ -98,32 +130,94 @@ class DiamondIO:
 
     # ------------------------------------------------------ circuit wrapper
 
-    def _build_wrapped_circuit(self, builder, unit_consts, mask_consts):
-        """Deterministic wrapper: user circuit + k-channel masked outputs.
-        Inputs: num_bits bit wires followed by the k wire."""
-        from ..circuit import PolyCircuit
+    def _mask_moduli(self):
+        prf = self._prf_pipeline()
+        return mask_plaintext_moduli_from_full_modulus(
+            prf.ctx.q_big, self.prf_config.prf_mask_output_coeff_bits
+        )
 
+    def _mask_bits_per_output(self) -> int:
+        return self.params.n * self.prf_config.prf_mask_output_coeff_bits
+
+    def _build_wrapped_circuit(self, prf: PrfMaskPipeline, builder, unit_consts,
+                               num_outputs: int, debug: PrfDebugArtifacts | None):
+        """User circuit + k-channel masked outputs + in-circuit PRF mask
+        decrypts. Inputs: num_bits bit wires, then the k wire, then (real
+        mode) the final seed ciphertext component wires. In debug-replay mode
+        the mask ciphertext values are circuit constants from the recorded
+        final_mask_cts; in real mode they come from the final-round Goldreich
+        PRG over the seed wires (diamond_io/circuits.rs build_prf_mask_circuit
+        + build_goldreich_prg_range_circuit)."""
+        cfg = self.prf_config
         params = self.params
-        circuit = PolyCircuit()
-        wires = circuit.input(self.num_input_bits + 1)
-        bit_wires, k_wire = wires[:-1], wires[-1]
+        circuit = prf.ctx.fresh_circuit()
+        num_seed_wires = (
+            0 if cfg.debug_encrypt_random_prg_wires
+            else cfg.seed_bits * prf.wires_per_ct
+        )
+        wires = circuit.input(self.num_input_bits + 1 + num_seed_wires)
+        bit_wires = wires[: self.num_input_bits]
+        k_wire = wires[self.num_input_bits]
+        seed_wires = list(wires)[self.num_input_bits + 1 :]
+
         f_outs = builder(circuit, bit_wires)
+        assert len(f_outs) == num_outputs
         zero = circuit.sub_gate(k_wire, k_wire)
         negk = circuit.sub_gate(zero, k_wire)
         top_u, bottom_u = unit_consts
-        sd_u = circuit.mul_gate(circuit.large_scalar_mul(circuit.const_one_gate(), [top_u]), negk)
+        sd_u = circuit.mul_gate(
+            circuit.large_scalar_mul(circuit.const_one_gate(), [top_u]), negk
+        )
+
+        # mask-bit ciphertext wires per output
+        bits_per_output = self._mask_bits_per_output()
+        if cfg.debug_encrypt_random_prg_wires:
+            assert debug is not None and len(debug.final_mask_cts) == num_outputs
+            mask_cts_per_output = []
+            for out_idx in range(num_outputs):
+                cts = []
+                for native in debug.final_mask_cts[out_idx]:
+                    vals = encode_ciphertext_inputs(prf.ctx, native)
+                    const_wires = [circuit.const_poly(v.to_coeff()) for v in vals]
+                    cts.append(
+                        RingGswCiphertext.from_wires(prf.ctx, const_wires)
+                    )
+                mask_cts_per_output.append(cts)
+        else:
+            seed_cts_wires = [
+                RingGswCiphertext.from_wires(
+                    prf.ctx,
+                    seed_wires[i * prf.wires_per_ct : (i + 1) * prf.wires_per_ct],
+                )
+                for i in range(cfg.seed_bits)
+            ]
+            total_bits = num_outputs * bits_per_output
+            g = GoldreichFhePrg.setup(
+                cfg.seed_bits, total_bits,
+                prf.graph_seed_for_round(self.input_count),
+            )
+            all_cts = g.evaluate(seed_cts_wires, circuit)
+            mask_cts_per_output = [
+                all_cts[o * bits_per_output : (o + 1) * bits_per_output]
+                for o in range(num_outputs)
+            ]
+
+        moduli = self._mask_moduli()
         outputs = []
         for o, f in enumerate(f_outs):
-            top_m, _bottom_m = mask_consts[o]
-            sd_mask = circuit.mul_gate(
-                circuit.large_scalar_mul(circuit.const_one_gate(), [top_m]), negk
+            # coeff-major chunk layout (bits[coeff * bit_size + bit])
+            sd_mask, pb_mask = decrypt_bit_decomposed_polynomial_parts(
+                circuit, mask_cts_per_output[o], negk, moduli
+            )
+            pb_mask_centered = center_public_bottom(
+                circuit, params, pb_mask, cfg.prf_mask_output_coeff_bits
             )
             sd_out = circuit.mul_gate(f, sd_u)
             sd_total = circuit.add_gate(sd_out, sd_mask)
             pb_out = circuit.mul_gate(
                 f, circuit.large_scalar_mul(circuit.const_one_gate(), [bottom_u])
             )
-            outputs.extend([sd_total, pb_out])
+            outputs.extend([sd_total, pb_out, pb_mask_centered])
         circuit.output(outputs)
         return circuit
 
@@ -133,6 +227,14 @@ class DiamondIO:
         probe = PolyCircuit()
         bits = probe.input(self.num_input_bits)
         return len(builder(probe, bits))
+
+    def _prf_pipeline(self) -> PrfMaskPipeline:
+        if not hasattr(self, "_prf"):
+            self._prf = PrfMaskPipeline(
+                self.params, self.prf_config, getattr(self, "_hash_key", b"\0" * 32),
+                self._trap, self.input_count, self.batch_bits,
+            )
+        return self._prf
 
     # -------------------------------------------------------------- offline
 
@@ -151,44 +253,79 @@ class DiamondIO:
         td, b = pre_out.final_checkpoint(state_idx)
         return self._trap.preimage(params, td, b, top.concat_rows([bottom]))
 
-    def obfuscate(self, dir_path, builder) -> DiamondIOObf:
+    def _selector_pubkeys(self, one_pk, input_pubkeys):
+        """Digit selector wires: sum_b 2^b * bit wire per injector input
+        (reference build_prf_digit_public_key_vecs, utils.rs:119-154)."""
         params = self.params
+        out = []
+        for digit_idx in range(self.input_count):
+            acc = None
+            for b in range(self.batch_bits):
+                w = input_pubkeys[digit_idx * self.batch_bits + b]
+                term = w.small_scalar_mul(params, [1 << b])
+                acc = term if acc is None else acc + term
+            out.append(acc)
+        return out
+
+    def obfuscate(self, dir_path, builder) -> DiamondIOObf:
+        with span("diamond_io.obfuscate", input_bits=self.num_input_bits):
+            return self._obfuscate(dir_path, builder)
+
+    def _obfuscate(self, dir_path, builder) -> DiamondIOObf:
+        params = self.params
+        cfg = self.prf_config
         d = Path(dir_path)
         d.mkdir(parents=True, exist_ok=True)
         hash_key = (
             os.urandom(32)
             if self._seed is None
-            else hashlib.sha256(b"diamond_io_hash_key" + self._seed.to_bytes(8, "little", signed=True)).digest()
+            else hashlib.sha256(
+                b"diamond_io_hash_key"
+                + self._seed.to_bytes(8, "little", signed=True)
+            ).digest()
         )
+        self._hash_key = hash_key
         num_bits = self.num_input_bits
 
-        # payload k: ternary CONSTANT (the GSW mask key must be an integer for
-        # the host encryptions; the injector carries it as a constant poly).
-        # CSPRNG when unseeded: ciphertext a-values are published (ADVICE r1).
+        # payload k: ternary CONSTANT restricted to +-1 (the GSW mask key must
+        # be invertible for the absolute-channel bottom targets).
+        # CSPRNG when unseeded: ciphertext a-values are published.
         rng = Drbg(self._seed)
         k_int = rng.choice([-1, 1])
         k = Poly.const(params, k_int)
         pre_out = self.injector.preprocess(d, k)
 
         num_outputs = self._probe_num_outputs(builder)
-        unit_ct = native_encrypt(params, k_int, 1, rng, 2, self.error_sigma)
-        unit_consts = decrypt_constants(params, unit_ct, 2)
-        mask_cts = [
-            native_encrypt(params, k_int, 0, rng, 2, self.error_sigma)
-            for _ in range(num_outputs)
-        ]
-        mask_consts = [decrypt_constants(params, ct, 2) for ct in mask_cts]
+        prf = self._prf_pipeline()
 
-        circuit = self._build_wrapped_circuit(builder, unit_consts, mask_consts)
+        # unit ciphertext (absolute-channel push of builder outputs): a valid
+        # Enc_{(-k,1)}(1) whose decrypt constants the circuit consumes
+        unit_ct = plain_native_encrypt(params, k_int, 1, rng, 2, self.error_sigma)
+        unit_consts = decrypt_constants(params, unit_ct, 2)
+
+        # seed-bit encryption (diamond_io.rs:330-388)
+        seed_cts = []
+        original_seed_bits = []
+        for _ in range(cfg.seed_bits):
+            bit = rng.randrange(2)
+            original_seed_bits.append(bit)
+            seed_cts.append(native_encrypt(prf.ctx, k_int, bit, rng, self.error_sigma))
 
         pk_sampler = BGGPublicKeySampler(hash_key, DIAMOND_SECRET_SIZE)
         pubkeys = pk_sampler.sample(params, b"diamond_bgg", [True] * num_bits)
         one_pubkey, input_pubkeys = pubkeys[0], pubkeys[1:]
         k_pubkey = pk_sampler.sample(params, b"diamond_k", [False])[1]
+        negk_pubkey = BggPublicKey(
+            PolyMatrix.zero(params, DIAMOND_SECRET_SIZE, k_pubkey.matrix.ncol)
+            - k_pubkey.matrix,
+            False,
+        )
+        selector_pks = self._selector_pubkeys(one_pubkey, input_pubkeys)
 
-        has_luts = bool(circuit.luts)
-        if has_luts:
-            init_storage_system(d)
+        init_storage_system(d)
+        if self._pk_plt_factory is not None:
+            pk_eval = self._pk_plt_factory(self, d, hash_key, pre_out)
+        else:
             lut_trapdoor, lut_b = self._trap.trapdoor(params, DIAMOND_SECRET_SIZE)
             bridge_target = lut_b.concat_rows(
                 [PolyMatrix.zero(params, DIAMOND_SECRET_SIZE, lut_b.ncol)]
@@ -197,22 +334,45 @@ class DiamondIO:
             bridge = self._trap.preimage(params, td0, b0, bridge_target)
             self._write(d, "lut_bridge", bridge)
             pk_eval = LWEBGGPubKeyPltEvaluator(hash_key, self._trap, lut_b, lut_trapdoor, d)
-        else:
-            pk_eval = None
 
-        result_pubkeys = circuit.eval(
-            params, one_pubkey, input_pubkeys + [k_pubkey], plt_evaluator=pk_eval
+        # PRF mask pipeline over pubkey wires (rounds + rebase + refresh)
+        final_seed_pks, prf_debug = prf.compute_public_key_path(
+            lambda mid, m: self._write(d, mid, m),
+            pre_out, one_pubkey, k_pubkey, negk_pubkey, selector_pks, seed_cts,
+            k_int, rng, self.error_sigma, pk_eval,
         )
-        if has_luts:
+        prf_debug.original_seed_bits = original_seed_bits
+
+        # final mask ciphertexts (debug replay mode: fresh valid encryptions)
+        if cfg.debug_encrypt_random_prg_wires:
+            bits_per_output = self._mask_bits_per_output()
+            for _ in range(num_outputs):
+                prf_debug.final_mask_cts.append(
+                    prf._sample_debug_prg_cts(
+                        k_int, bits_per_output, rng, self.error_sigma
+                    )
+                )
+
+        circuit = self._build_wrapped_circuit(
+            prf, builder, unit_consts, num_outputs, prf_debug
+        )
+        circuit_inputs = list(input_pubkeys) + [k_pubkey]
+        if not cfg.debug_encrypt_random_prg_wires:
+            circuit_inputs += final_seed_pks
+        with span("diamond_io.pk_circuit_eval", gates=circuit.num_gates()):
+            result_pubkeys = circuit.eval(
+                params, one_pubkey, circuit_inputs, plt_evaluator=pk_eval
+            )
+        if hasattr(pk_eval, "sample_aux_matrices"):
             pk_eval.sample_aux_matrices(params)
-            wait_for_all_writes()
+        wait_for_all_writes()
 
         one_plaintext = Poly.one(params)
         self._write(
             d, "one_preimage",
             self._sample_final_output_preimage(pre_out, 0, one_pubkey, one_plaintext, None),
         )
-        # k-wire preimage: target [A_k; -G] gives c_k = sigma*A_k - k*G
+        # k-wire preimage: target [A_k; -G] gives c_k = sigma*(A_k - k*G)
         self._write(
             d, "k_preimage",
             self._sample_final_output_preimage(pre_out, 0, k_pubkey, None, one_plaintext),
@@ -230,21 +390,27 @@ class DiamondIO:
         sel = PolyMatrix.identity(params, DIAMOND_SECRET_SIZE).slice_columns(0, 1)
         td0, b0 = pre_out.final_checkpoint(0)
         for out_idx in range(num_outputs):
-            sd_pk = result_pubkeys[2 * out_idx]
+            sd_pk = result_pubkeys[3 * out_idx]
             top = sd_pk.matrix.mul_decompose(sel)
             bottom = PolyMatrix.zero(params, DIAMOND_SECRET_SIZE, top.ncol)
             pre = self._trap.preimage(params, td0, b0, top.concat_rows([bottom]))
             self._write(d, f"decoder_preimage_{out_idx}", pre)
 
         return DiamondIOObf(
-            hash_key, pre_out, num_outputs, has_luts, unit_consts, mask_consts
+            hash_key, pre_out, num_outputs, unit_consts, seed_cts, prf_debug
         )
 
     # --------------------------------------------------------------- online
 
     def eval(self, dir_path, obf: DiamondIOObf, builder, input_bits: list[int]) -> list[int]:
+        with span("diamond_io.eval", input_bits=len(input_bits)):
+            return self._eval(dir_path, obf, builder, input_bits)
+
+    def _eval(self, dir_path, obf: DiamondIOObf, builder, input_bits: list[int]) -> list[int]:
         params = self.params
+        cfg = self.prf_config
         d = Path(dir_path)
+        self._hash_key = obf.hash_key
         assert len(input_bits) == self.num_input_bits
         digits = []
         for i in range(self.input_count):
@@ -264,6 +430,14 @@ class DiamondIO:
             states[0] @ self._read(d, "one_preimage"), one_pubkey, Poly.one(params)
         )
         k_encoding = BggEncoding(states[0] @ self._read(d, "k_preimage"), k_pubkey, None)
+        negk_encoding = BggEncoding(
+            PolyMatrix.zero(params, 1, k_encoding.vector.ncol) - k_encoding.vector,
+            BggPublicKey(
+                PolyMatrix.zero(params, 1, k_pubkey.matrix.ncol) - k_pubkey.matrix,
+                False,
+            ),
+            None,
+        )
         input_encodings = []
         for bit_idx, pubkey in enumerate(input_pubkeys):
             digit_idx = bit_idx // self.batch_bits
@@ -277,33 +451,49 @@ class DiamondIO:
                     Poly.const(params, bit),
                 )
             )
+        selector_encs = self._selector_pubkeys(one_encoding, input_encodings)
 
-        circuit = self._build_wrapped_circuit(builder, obf.unit_ct_consts, obf.mask_ct_consts)
-        if obf.has_luts:
+        init_storage_system(d)
+        if self._enc_plt_factory is not None:
+            enc_eval = self._enc_plt_factory(self, d, obf, states, digits)
+        else:
             c_b = states[0] @ self._read(d, "lut_bridge")
             enc_eval = LWEBGGEncodingPltEvaluator(obf.hash_key, d, c_b)
-        else:
-            enc_eval = None
 
-        result = circuit.eval(
-            params, one_encoding, input_encodings + [k_encoding], plt_evaluator=enc_eval
+        prf = self._prf_pipeline()
+        final_seed_encs = prf.compute_seed_encoding_path(
+            lambda mid: self._read(d, mid),
+            states[0], one_encoding, k_encoding, negk_encoding, selector_encs,
+            digits, obf.seed_cts, obf.prf_debug, enc_eval,
         )
 
-        # masked decode: proj - c_sd G^{-1}(e0) + pb_plaintext + bottom_m
+        circuit = self._build_wrapped_circuit(
+            prf, builder, obf.unit_ct_consts, obf.num_outputs, obf.prf_debug
+        )
+        circuit_inputs = input_encodings + [k_encoding]
+        if not cfg.debug_encrypt_random_prg_wires:
+            circuit_inputs += final_seed_encs
+        with span("diamond_io.enc_circuit_eval", gates=circuit.num_gates()):
+            result = circuit.eval(
+                params, one_encoding, circuit_inputs, plt_evaluator=enc_eval
+            )
+
+        # masked decode: proj - c_sd G^{-1}(e0) + pb_plaintext + pb_mask
         sel = PolyMatrix.identity(params, DIAMOND_SECRET_SIZE).slice_columns(0, 1)
         q = params.modulus
         out_bits = []
         for out_idx in range(obf.num_outputs):
-            sd_enc = result[2 * out_idx]
-            pb_enc = result[2 * out_idx + 1]
+            sd_enc = result[3 * out_idx]
+            pb_enc = result[3 * out_idx + 1]
+            pb_mask_enc = result[3 * out_idx + 2]
             assert pb_enc.plaintext is not None, "public-bottom wire must reveal its plaintext"
+            assert pb_mask_enc.plaintext is not None, "mask public bottom must be plaintext-known"
             proj = states[0] @ self._read(d, f"decoder_preimage_{out_idx}")
             noisy = proj - sd_enc.vector.mul_decompose(sel)
-            _top_m, bottom_m = obf.mask_ct_consts[out_idx]
             coeff = (
                 noisy.entry(0, 0).coeffs()[0]
                 + pb_enc.plaintext.coeffs()[0]
-                + bottom_m
+                + pb_mask_enc.plaintext.coeffs()[0]
             ) % q
             out_bits.append(int(decode_centered_masked_integer_coeff(coeff, q, 2)))
         return out_bits

@@ -1,0 +1,415 @@
+"""Diamond iO PRF mask pipeline: seed encryption, per-round branch-rebased
+PRG evolution with noise refresh, and the final in-circuit mask derivation.
+
+TPU-build of /root/reference/src/io/diamond_io/{utils.rs,circuits.rs}:
+- seed bits GSW-encrypted under the payload key k; ciphertext values are
+  public and lift onto BGG wires by scalar-multiplying the one wire
+  (utils.rs:192-230 native_ciphertexts_to_public_key_wires)
+- per injector digit round r (utils.rs:648-940 compute_prf_mask_public_key):
+  the Goldreich PRG over Ring-GSW expands the seed ciphertexts into
+  branch_count * seed_bits next-seed ciphertexts (one branch per digit
+  value); per branch b, masked_wire = prg_wire + (selector - b*one)
+  .matrix_mul(mask_matrix) carries garbage unless the runtime digit equals b,
+  and a persisted final-state preimage of [A_common - A_masked; 0] rebases
+  the selected branch onto the branch-independent hash pubkey A_common
+  (utils.rs:502-596); the rebased wires then noise-refresh
+  (NoiseRefresherNaiveVec) with persisted decoder preimages, and the
+  refreshed hash pubkeys A' seed the next round
+- eval (utils.rs:1133-1366 compute_prf_mask_seed_encoding) replays the same
+  pipeline over encoding wires, computing only the selected branch and
+  reading the stored rebase/refresh artifacts
+
+Debug replay mode (the reference's debug_encrypt_random_prg_wires test flag,
+diamond_io.rs:122-134): instead of evaluating the PRG circuits, obfuscation
+samples FRESH valid encryptions of random bits, records them in the
+obfuscation, and eval lifts the same ciphertext values — the full rebase /
+refresh / mask machinery still runs over real BGG wires.
+
+Repo specialization: scalar wires (see noise_refresh/naive_vec.py notes),
+k in {-1, +1} (integer-GSW payload; the reference's k is a ternary ring
+poly), and a refresh_wire_limit CI knob bounding how many seed-ciphertext
+component wires are rebased+refreshed per round (must be None at production
+scale; with the debug replay the remaining wires are never consumed).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+from ..bgg import BggEncoding, BggPublicKey
+from ..circuit import PolyCircuit
+from ..bgg.lift import lift_constants_batched
+from ..gadgets.arith.nested_rns import encode_nested_rns_value
+from ..gadgets.fhe.ring_gsw import (
+    RingGswCiphertext,
+    RingGswContext,
+    native_encrypt,
+)
+from ..gadgets.fhe_prg.goldreich import GoldreichFhePrg
+from ..matrix import PolyMatrix
+from ..noise_refresh.naive_vec import NoiseRefresherNaiveVec, RefreshMaterialCts
+from ..ring.poly import Poly
+from ..sampler import FinRingDist, HashSampler
+from ..utils.tracing import span
+
+
+@dataclass
+class PrfConfig:
+    seed_bits: int = 5
+    prf_mask_output_coeff_bits: int = 1
+    p_moduli_bits: int = 5
+    max_unreduced_muls: int = 1
+    goldreich_graph_seed: bytes = b"\x11" * 32
+    noise_refresh_v_bits: int = 1
+    noise_refresh_cbd_n: int = 1
+    debug_encrypt_random_prg_wires: bool = False
+    debug_reuse_single_material: bool = False
+    refresh_wire_limit: int | None = None
+
+
+@dataclass
+class PrfDebugArtifacts:
+    """Replayed ciphertexts recorded at obfuscation (reference
+    debug_prg_ciphertexts / original_seed_bits, diamond_io.rs:122-134)."""
+
+    prg_cts: list = field(default_factory=list)  # [round][branch][seed_bit]
+    refresh_material: list = field(default_factory=list)  # [round][branch][wire]
+    final_mask_cts: list = field(default_factory=list)  # [output][coeff*bits]
+    original_seed_bits: list = field(default_factory=list)
+
+
+class PrfMaskPipeline:
+    def __init__(self, params, config: PrfConfig, hash_key: bytes,
+                 trap_sampler, input_count: int, batch_bits: int):
+        self.params = params
+        self.cfg = config
+        self.hash_key = hash_key
+        self.trap = trap_sampler
+        self.input_count = input_count
+        self.batch_bits = batch_bits
+        self.branch_count = 1 << batch_bits
+        # the context circuit only hosts the shared LUT registry
+        self.ctx = RingGswContext(
+            PolyCircuit(), params, config.p_moduli_bits, config.max_unreduced_muls
+        )
+        self.refresher = NoiseRefresherNaiveVec(
+            params, self.ctx, config.noise_refresh_v_bits, hash_key
+        )
+        self._hash = HashSampler()
+        # wires per ciphertext at the circuit boundary
+        probe_circuit = self.ctx.fresh_circuit()
+        probe = RingGswCiphertext.input(self.ctx, probe_circuit)
+        self.wires_per_ct = len(probe.flatten())
+
+    # --------------------------------------------------------------- hashes
+
+    def graph_seed_for_round(self, round_idx: int) -> bytes:
+        return hashlib.sha256(
+            b"DiamondIOGoldreichPrfGraph/v1"
+            + self.cfg.goldreich_graph_seed
+            + round_idx.to_bytes(8, "little")
+        ).digest()
+
+    def _branch_mask_matrix(self, round_idx: int, branch: int, wire_idx: int,
+                            target_cols: int) -> PolyMatrix:
+        tag = (
+            b"DiamondIOPrfBranchMask/v1"
+            + round_idx.to_bytes(8, "little")
+            + branch.to_bytes(8, "little")
+            + wire_idx.to_bytes(8, "little")
+        )
+        return self._hash.sample_hash(
+            self.params, self.hash_key, tag, 1, target_cols, FinRingDist()
+        )
+
+    def _common_rebase_pk(self, round_idx: int, wire_idx: int,
+                          target_cols: int) -> PolyMatrix:
+        tag = (
+            b"DiamondIOPrfCommonRebase/v1"
+            + round_idx.to_bytes(8, "little")
+            + wire_idx.to_bytes(8, "little")
+        )
+        return self._hash.sample_hash(
+            self.params, self.hash_key, tag, 1, target_cols, FinRingDist()
+        )
+
+    def refresh_id(self, round_idx: int, wire_idx: int) -> bytes:
+        return b"prf_r%d_w%d" % (round_idx, wire_idx)
+
+    @staticmethod
+    def rebase_preimage_id(round_idx: int, branch: int, wire_idx: int) -> str:
+        return f"prf_round_{round_idx}_branch_{branch}_wire_{wire_idx}_rebase_preimage"
+
+    @staticmethod
+    def refresh_preimage_id(round_idx: int, branch: int, wire_idx: int,
+                            crt_idx: int) -> str:
+        return (
+            f"prf_round_{round_idx}_branch_{branch}_wire_{wire_idx}"
+            f"_refresh_preimage_crt_{crt_idx}"
+        )
+
+    # ----------------------------------------------------------- debug PRG
+
+    def _sample_debug_prg_cts(self, k_int: int, count: int, rng,
+                              error_sigma: float, sink: list | None = None):
+        """Fresh valid encryptions of random bits (the reference's
+        sample_debug_prg_public_key_wires, utils.rs:232+)."""
+        cts = []
+        for _ in range(count):
+            bit = rng.randrange(2)
+            ct = native_encrypt(self.ctx, k_int, bit, rng, error_sigma)
+            cts.append(ct)
+            if sink is not None:
+                sink.append(bit)
+        return cts
+
+    def _ct_wire_values(self, cts) -> list[int]:
+        """Flat integer wire constants (nested-RNS residues) per ciphertext."""
+        out: list[int] = []
+        for ct in cts:
+            for row in ct:
+                for v in row:
+                    for lvl in encode_nested_rns_value(
+                        self.ctx.nested, v % self.ctx.q_big
+                    ):
+                        out.extend(lvl)
+        return out
+
+    def lift_values(self, one_wire, values: list[int]):
+        return lift_constants_batched(self.params, one_wire, values)
+
+    def _refresh_material(self, k_int: int, rng, error_sigma: float
+                          ) -> RefreshMaterialCts:
+        """Material ciphertexts for refreshing ONE wire (replay mode: valid
+        fresh encryptions; the real mode evaluates the CBD PRG circuit —
+        circuit_prg.build_noise_refresh_prg_material — instead)."""
+        params = self.params
+        n_coeffs = 1 if self.cfg.debug_reuse_single_material else params.n
+        mask_levels = 1 if self.cfg.debug_reuse_single_material else params.crt_depth
+        digits = 1 if self.cfg.debug_reuse_single_material else params.modulus_digits
+        v = self.cfg.noise_refresh_v_bits
+        errors, masks = [], []
+        for _ in range(digits):
+            # CBD error values from 2*cbd_n bit differences
+            errs = []
+            for _ in range(n_coeffs):
+                eta = self.cfg.noise_refresh_cbd_n
+                val = sum(rng.randrange(2) for _ in range(eta)) - sum(
+                    rng.randrange(2) for _ in range(eta)
+                )
+                errs.append(native_encrypt(self.ctx, k_int, val, rng, error_sigma))
+            errors.append(errs)
+            masks.append([
+                native_encrypt(self.ctx, k_int, rng.randrange(2), rng, error_sigma)
+                for _ in range(mask_levels * n_coeffs * v)
+            ])
+        return RefreshMaterialCts(errors=errors, masks=masks)
+
+    # ------------------------------------------------------------- offline
+
+    def compute_public_key_path(self, write_matrix, preprocess_out, one_pk,
+                                k_pk, negk_pk, selector_pks, seed_cts,
+                                k_int: int, rng, error_sigma: float,
+                                plt_evaluator):
+        """Per-round pubkey path: evolve seed wires, persist rebase + refresh
+        preimages via `write_matrix(id, matrix)`. Returns (final seed wire
+        pubkeys, debug artifacts)."""
+        params = self.params
+        cfg = self.cfg
+        debug = PrfDebugArtifacts()
+        seed_wires = self.lift_values(one_pk, self._ct_wire_values(seed_cts))
+        td0, b0 = preprocess_out.final_checkpoint(0)
+
+        for round_idx in range(self.input_count):
+            with span("prf_pipeline.pk_round", round_idx=round_idx):
+                selector_pk = selector_pks[round_idx]
+                if cfg.debug_encrypt_random_prg_wires:
+                    round_cts = [
+                        self._sample_debug_prg_cts(
+                            k_int, cfg.seed_bits, rng, error_sigma
+                        )
+                        for _ in range(self.branch_count)
+                    ]
+                    debug.prg_cts.append(round_cts)
+                    prg_wires = [
+                        self.lift_values(one_pk, self._ct_wire_values(branch_cts))
+                        for branch_cts in round_cts
+                    ]
+                else:
+                    assert cfg.refresh_wire_limit is None, (
+                        "real PRG mode must refresh every seed wire"
+                    )
+                    prg_wires = [
+                        [w for chunk in branch for w in chunk]
+                        for branch in self._eval_prg_round(
+                            round_idx, one_pk, seed_wires, plt_evaluator
+                        )
+                    ]
+
+                wire_count = len(prg_wires[0])
+                limit = cfg.refresh_wire_limit or wire_count
+                limit = min(limit, wire_count)
+
+                # branch rebase preimages + per-branch refresh artifacts
+                round_material = []
+                next_seed_wires = None
+                for branch in range(self.branch_count):
+                    branch_sub = selector_pk - one_pk.small_scalar_mul(
+                        params, [branch]
+                    )
+                    branch_material = []
+                    branch_next = []
+                    for wire_idx in range(limit):
+                        prg_wire = prg_wires[branch][wire_idx]
+                        cols = prg_wire.matrix.ncol
+                        mask = self._branch_mask_matrix(
+                            round_idx, branch, wire_idx, cols
+                        )
+                        masked = prg_wire + branch_sub.matrix_mul(params, mask)
+                        common = self._common_rebase_pk(round_idx, wire_idx, cols)
+                        target = (common - masked.matrix).concat_rows(
+                            [PolyMatrix.zero(params, 1, cols)]
+                        )
+                        pre = self.trap.preimage(params, td0, b0, target)
+                        write_matrix(
+                            self.rebase_preimage_id(round_idx, branch, wire_idx), pre
+                        )
+                        # refresh the rebased common wire
+                        material = self._refresh_material(k_int, rng, error_sigma)
+                        branch_material.append(material)
+                        a_prime_pk, refresh_keys = self.refresher.preprocess(
+                            self.refresh_id(round_idx, wire_idx),
+                            one_pk,
+                            BggPublicKey(common, True),
+                            negk_pk,
+                            material,
+                            plt_evaluator,
+                        )
+                        for crt_idx, t in enumerate(refresh_keys):
+                            dec_target = t.concat_rows(
+                                [PolyMatrix.zero(params, 1, t.ncol)]
+                            )
+                            write_matrix(
+                                self.refresh_preimage_id(
+                                    round_idx, branch, wire_idx, crt_idx
+                                ),
+                                self.trap.preimage(params, td0, b0, dec_target),
+                            )
+                        branch_next.append(a_prime_pk)
+                    round_material.append(branch_material)
+                    if next_seed_wires is None:
+                        next_seed_wires = branch_next
+                    else:
+                        # A' is hash-derived from (round, wire): branch-independent
+                        assert all(
+                            a.matrix == b.matrix
+                            for a, b in zip(next_seed_wires, branch_next)
+                        ), "refresh must not depend on the branch"
+                debug.refresh_material.append(round_material)
+                seed_wires = next_seed_wires
+
+        return seed_wires, debug
+
+    def _eval_prg_round(self, round_idx, one_wire, seed_wires, plt_evaluator):
+        """Real mode: Goldreich PRG over Ring-GSW ciphertext wires, all
+        branches (bench-scale; the reference's GPU path)."""
+        out_bits = self.cfg.seed_bits * self.branch_count
+        circuit = self.ctx.fresh_circuit()
+        seeds = [
+            RingGswCiphertext.input(self.ctx, circuit)
+            for _ in range(self.cfg.seed_bits)
+        ]
+        prg = GoldreichFhePrg.setup(
+            self.cfg.seed_bits, out_bits, self.graph_seed_for_round(round_idx)
+        )
+        outs = prg.evaluate(seeds, circuit)
+        flat = []
+        for ct in outs:
+            flat.extend(ct.flatten())
+        circuit.output(flat)
+        results = circuit.eval(
+            self.params, one_wire, seed_wires, plt_evaluator=plt_evaluator
+        )
+        per_ct = self.wires_per_ct
+        branches = []
+        for b in range(self.branch_count):
+            start = b * self.cfg.seed_bits * per_ct
+            branches.append([
+                results[start + i * per_ct : start + (i + 1) * per_ct]
+                for i in range(self.cfg.seed_bits)
+            ])
+        return branches
+
+    # -------------------------------------------------------------- online
+
+    def compute_seed_encoding_path(self, read_matrix, state0, one_enc, k_enc,
+                                   negk_enc, selector_encs, digits,
+                                   seed_cts, debug: PrfDebugArtifacts,
+                                   plt_evaluator):
+        """Per-round encoding path for the runtime digits; reads the stored
+        rebase + refresh preimages. Returns the final seed wire encodings."""
+        params = self.params
+        cfg = self.cfg
+        seed_wires = self.lift_values(one_enc, self._ct_wire_values(seed_cts))
+
+        for round_idx in range(self.input_count):
+            with span("prf_pipeline.enc_round", round_idx=round_idx):
+                branch = digits[round_idx]
+                assert branch < self.branch_count
+                selector_enc = selector_encs[round_idx]
+                if cfg.debug_encrypt_random_prg_wires:
+                    branch_cts = debug.prg_cts[round_idx][branch]
+                    prg_wires = self.lift_values(
+                        one_enc, self._ct_wire_values(branch_cts)
+                    )
+                    wire_chunks = [
+                        prg_wires[i * self.wires_per_ct : (i + 1) * self.wires_per_ct]
+                        for i in range(cfg.seed_bits)
+                    ]
+                else:
+                    all_branches = self._eval_prg_round(
+                        round_idx, one_enc, seed_wires, plt_evaluator
+                    )
+                    wire_chunks = all_branches[branch]
+
+                flat_wires = [w for chunk in wire_chunks for w in chunk]
+                wire_count = len(flat_wires)
+                limit = min(cfg.refresh_wire_limit or wire_count, wire_count)
+                branch_sub = selector_enc - one_enc.small_scalar_mul(
+                    params, [branch]
+                )
+                next_wires = []
+                for wire_idx in range(limit):
+                    prg_wire = flat_wires[wire_idx]
+                    cols = prg_wire.vector.ncol
+                    mask = self._branch_mask_matrix(round_idx, branch, wire_idx, cols)
+                    masked = prg_wire + branch_sub.matrix_mul(params, mask)
+                    common = self._common_rebase_pk(round_idx, wire_idx, cols)
+                    pre = read_matrix(
+                        self.rebase_preimage_id(round_idx, branch, wire_idx)
+                    )
+                    rebased = BggEncoding(
+                        state0 @ pre + masked.vector,
+                        BggPublicKey(common, True),
+                        prg_wire.plaintext,
+                    )
+                    material = debug.refresh_material[round_idx][branch][wire_idx]
+                    decoders = [
+                        state0 @ read_matrix(
+                            self.refresh_preimage_id(
+                                round_idx, branch, wire_idx, crt_idx
+                            )
+                        )
+                        for crt_idx in range(params.crt_depth)
+                    ]
+                    next_wires.append(
+                        self.refresher.online_eval(
+                            self.refresh_id(round_idx, wire_idx),
+                            one_enc, rebased, negk_enc, material, decoders,
+                            plt_evaluator,
+                        )
+                    )
+                seed_wires = next_wires
+
+        return seed_wires

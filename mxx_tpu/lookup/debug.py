@@ -26,7 +26,40 @@ from __future__ import annotations
 from ..bgg import BggEncoding, BggPublicKey
 from ..matrix import PolyMatrix
 from ..ring.poly import Poly
+from ..sampler import Trapdoor
 from .lwe import derive_a_lt_matrix
+
+
+def debug_trapdoor_preimage(params, trapdoor: Trapdoor, target: PolyMatrix) -> PolyMatrix:
+    """Exact preimage without perturbation (debug.rs DebugTrapdoorPreimage):
+    A [R z; E z; z] = (G - AR - E + AR + E) z = target."""
+    dec = target.decompose()
+    r_part = trapdoor.r @ dec
+    e_part = trapdoor.e @ dec
+    return r_part.concat_rows([e_part, dec])
+
+
+class RelationCheckingPltEvaluator:
+    """Wraps any encoding-path PltEvaluator and asserts the BGG relation of
+    every lookup output against the provided secret vector (zero-error runs).
+    """
+
+    def __init__(self, inner, secret_vec: PolyMatrix):
+        self.inner = inner
+        self.secret_vec = secret_vec
+
+    def public_lookup(self, params, plt, one, input_enc, gate_id, lut_id):
+        out = self.inner.public_lookup(params, plt, one, input_enc, gate_id, lut_id)
+        if isinstance(out, BggEncoding) and out.plaintext is not None:
+            d = self.secret_vec.ncol
+            g = PolyMatrix.gadget_matrix(params, d)
+            expected = self.secret_vec @ out.pubkey.matrix - (
+                self.secret_vec @ g
+            ).mul_poly_scalar(out.plaintext)
+            assert out.vector == expected, (
+                f"debug: LUT output relation violated at gate {gate_id}"
+            )
+        return out
 
 
 class DebugBGGPubKeyPltEvaluator:

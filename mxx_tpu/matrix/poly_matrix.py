@@ -111,14 +111,21 @@ class PolyMatrix:
         """G = I_size tensor g, g the k-digit gadget row vector (EVAL form).
 
         Entries are constant polys with residues `np_gadget_res[idx, limb]`
-        (reference matrix/mod.rs:gadget_matrix + dcrt_poly.rs:441)."""
-        k = params.modulus_digits
-        gv = jnp.asarray(params.np_gadget_res)  # [k, L]
-        eye = jnp.eye(size, dtype=jnp.uint32)
-        # out[l, i, j*k+m, slot] = eye[i, j] * gv[m, l]
-        out = jnp.einsum("ij,ml->lijm", eye, gv).reshape(params.crt_depth, size, size * k)
-        data = jnp.broadcast_to(out[..., None], out.shape + (params.n,))
-        return PolyMatrix(data.astype(jnp.uint32), EVAL, params)
+        (reference matrix/mod.rs:gadget_matrix + dcrt_poly.rs:441). Cached per
+        (params, size): G sits on every BGG scalar-mul path, and rebuilding
+        the einsum per call dominated protocol profiles."""
+        cache = params._tables.setdefault("gadget_matrix_cache", {})
+        if size not in cache:
+            k = params.modulus_digits
+            gv = jnp.asarray(params.np_gadget_res)  # [k, L]
+            eye = jnp.eye(size, dtype=jnp.uint32)
+            # out[l, i, j*k+m, slot] = eye[i, j] * gv[m, l]
+            out = jnp.einsum("ij,ml->lijm", eye, gv).reshape(
+                params.crt_depth, size, size * k
+            )
+            data = jnp.broadcast_to(out[..., None], out.shape + (params.n,))
+            cache[size] = PolyMatrix(data.astype(jnp.uint32), EVAL, params)
+        return cache[size]
 
     @staticmethod
     def small_gadget_matrix(params: RingParams, size: int) -> "PolyMatrix":

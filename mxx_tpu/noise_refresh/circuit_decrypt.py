@@ -37,12 +37,16 @@ def decrypt_bit_decomposed_polynomial_parts(circuit: PolyCircuit,
     bit_size = len(plaintext_moduli)
     assert bit_size > 0
     params = bits[0].ctx.params
-    ring_dim = params.n
-    assert len(bits) == ring_dim * bit_size, "chunk must be ring_dim * bit_size"
+    # coefficient count from the chunk: ring_dim at full scale, fewer for the
+    # debug_reuse_single_material shapes (the remaining coefficients decode 0)
+    n_coeffs = len(bits) // bit_size
+    assert 0 < n_coeffs <= params.n and n_coeffs * bit_size == len(bits), (
+        "chunk must be n_coeffs * bit_size with n_coeffs <= ring_dim"
+    )
     sd_acc = None
     pb_acc = None
     for bit_idx, t in enumerate(plaintext_moduli):
-        cts = [bits[coeff * bit_size + bit_idx] for coeff in range(ring_dim)]
+        cts = [bits[coeff * bit_size + bit_idx] for coeff in range(n_coeffs)]
         sd, pb = RingGswCiphertext.decrypt_batch(cts, circuit, key_wire, t)
         sd_acc = sd if sd_acc is None else circuit.add_gate(sd_acc, sd)
         pb_acc = pb if pb_acc is None else circuit.add_gate(pb_acc, pb)

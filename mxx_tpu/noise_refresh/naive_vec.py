@@ -44,7 +44,9 @@ from dataclasses import dataclass
 
 from ..bgg import BggEncoding, BggPublicKey
 from ..circuit import PolyCircuit
-from ..gadgets.fhe.ring_gsw import RingGswCiphertext, encode_ciphertext_inputs
+from ..bgg.lift import lift_constants_batched
+from ..gadgets.arith.nested_rns import encode_nested_rns_value
+from ..gadgets.fhe.ring_gsw import RingGswCiphertext
 from ..matrix import PolyMatrix
 from ..ring.poly import Poly
 from ..sampler import FinRingDist, HashSampler
@@ -155,23 +157,34 @@ class NoiseRefresherNaiveVec:
             b"nr_a_prime:" + refresh_id, 1, m_g, FinRingDist(),
         )
 
-    def material_wire_values(self, material: RefreshMaterialCts) -> list[list[Poly]]:
-        """Flatten native material cts to per-digit constant input polys for
+    def material_wire_values(self, material: RefreshMaterialCts) -> list[list[int]]:
+        """Flatten native material cts to per-digit constant wire values for
         the decrypt circuit (errors then masks, circuit input order)."""
+
+        def ct_values(ct):
+            vals = []
+            for row in ct:
+                for v in row:
+                    for lvl in encode_nested_rns_value(
+                        self.ring_gsw.nested, v % self.ring_gsw.q_big
+                    ):
+                        vals.extend(lvl)
+            return vals
+
         out = []
         for digit_idx in range(len(material.errors)):
-            vals: list[Poly] = []
+            vals: list[int] = []
             for ct in material.errors[digit_idx]:
-                vals.extend(encode_ciphertext_inputs(self.ring_gsw, ct))
+                vals.extend(ct_values(ct))
             for ct in material.masks[digit_idx]:
-                vals.extend(encode_ciphertext_inputs(self.ring_gsw, ct))
+                vals.extend(ct_values(ct))
             out.append(vals)
         return out
 
-    def _lift(self, one_wire, values: list[Poly]):
-        """Lift constant polys onto BGG wires by scalar-multiplying `one`
+    def _lift(self, one_wire, values: list[int]):
+        """Lift constant values onto BGG wires via the one wire, batched
         (the reference's ciphertext_inputs_from_native lift)."""
-        return [one_wire.large_scalar_mul(self.params, v.coeffs()) for v in values]
+        return lift_constants_batched(self.params, one_wire, values)
 
     def _decoded_wires(self, one_wire, k_wire, material, material_values,
                        plt_evaluator):

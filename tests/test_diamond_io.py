@@ -1,64 +1,92 @@
-"""Diamond iO end-to-end: obfuscate boolean functions, evaluate on all
-inputs; outputs decode through the k-channel masked decoder exactly."""
+"""Diamond iO end-to-end with the PRF mask pipeline.
+
+The full protocol runs in the reference's debug-replay test mode
+(debug_encrypt_random_prg_wires + debug_reuse_single_material,
+diamond_io.rs:122-134): PRG circuit outputs are fresh valid encryptions of
+random bits recorded in the obfuscation, while the branch-rebase preimages,
+noise-refresh rounds (real decoder preimages + in-circuit GSW decrypts with
+the k wire), output projections, and masked high-bit decode all run the
+production machinery over BGG wires. The masks come out of evaluated
+decrypt circuits over the replayed PRG ciphertexts — there are no
+host-computed mask constants in the obfuscation.
+
+LUT gates (nested-RNS reductions in the decrypt circuits) use the
+secret-oracle debug evaluators (lookup/debug.py) to stay CI-sized; the
+production LWE evaluator algebra is covered by test_lwe_modp_chain.
+"""
 
 import mxx_tpu  # noqa: F401
 
+from mxx_tpu.matrix import PolyMatrix
 from mxx_tpu.ring.params import RingParams
-from mxx_tpu.lookup import PublicLut
+from mxx_tpu.ring.poly import Poly
 from mxx_tpu.io_protocols import DiamondIO
+from mxx_tpu.io_protocols.prf_mask import PrfConfig
+from mxx_tpu.lookup.debug import (
+    DebugBGGEncodingPltEvaluator,
+    DebugBGGPubKeyPltEvaluator,
+)
 
 
-def and_builder(circuit, bits):
-    acc = bits[0]
-    for b in bits[1:]:
-        acc = circuit.and_gate(acc, b)
-    return [acc]
+def _ci_prf_config() -> PrfConfig:
+    return PrfConfig(
+        seed_bits=5,
+        prf_mask_output_coeff_bits=1,
+        p_moduli_bits=5,
+        max_unreduced_muls=1,
+        noise_refresh_v_bits=1,
+        debug_encrypt_random_prg_wires=True,
+        debug_reuse_single_material=True,
+        refresh_wire_limit=1,
+    )
 
 
-def make_lut_builder(params):
-    def builder(circuit, bits):
-        acc = bits[0]
-        for b in bits[1:]:
-            acc = circuit.and_gate(acc, b)
-        lut = PublicLut.from_dict(params, {x: (x, x % 2) for x in range(4)})
-        lut_id = circuit.register_public_lut(lut)
-        return [circuit.public_lookup_gate(acc, lut_id)]
-
-    return builder
+def _make_dio(params, input_count, batch_bits, seed):
+    return DiamondIO(
+        params, input_count=input_count, batch_bits=batch_bits, seed=seed,
+        prf_config=_ci_prf_config(),
+        pk_plt_evaluator_factory=lambda s, d, hk, pre: DebugBGGPubKeyPltEvaluator(hk),
+        enc_plt_evaluator_factory=lambda s, d, obf, states, digits:
+            DebugBGGEncodingPltEvaluator(
+                obf.hash_key, s.injector.debug_final_secret_matrix(d, digits)
+            ),
+    )
 
 
 def xor_and_builder(circuit, bits):
     return [circuit.xor_gate(bits[0], bits[1]), circuit.and_gate(bits[0], bits[1])]
 
 
-def test_diamond_io_and_function(tmp_path):
-    params = RingParams.default()
-    dio = DiamondIO(params, input_count=2, batch_bits=1, seed=81)
-    obf = dio.obfuscate(tmp_path, and_builder)
-    assert obf.num_outputs == 1
-    for b0 in (0, 1):
-        for b1 in (0, 1):
-            out = dio.eval(tmp_path, obf, and_builder, [b0, b1])
-            assert out == [b0 & b1], (b0, b1, out)
-
-
-def test_diamond_io_two_outputs(tmp_path):
-    params = RingParams.default()
-    dio = DiamondIO(params, input_count=1, batch_bits=2, seed=83)
+def test_diamond_io_prf_pipeline_e2e(tmp_path):
+    # crt_depth=3: the noise-refresh rounding threshold qhat_i/2 must span
+    # two limbs at toy scale (see noise_refresh/naive_vec.py)
+    params = RingParams.new(4, 3, 10, 10)
+    dio = _make_dio(params, input_count=2, batch_bits=1, seed=42)
     obf = dio.obfuscate(tmp_path, xor_and_builder)
     assert obf.num_outputs == 2
-    for b0 in (0, 1):
-        for b1 in (0, 1):
-            out = dio.eval(tmp_path, obf, xor_and_builder, [b0, b1])
-            assert out == [b0 ^ b1, b0 & b1], (b0, b1, out)
+    # masks are PRG-derived: the obfuscation records replayed PRG/mask
+    # ciphertexts, not precomputed mask decode constants
+    assert obf.prf_debug is not None
+    assert len(obf.prf_debug.final_mask_cts) == 2
+    assert len(obf.prf_debug.prg_cts) == dio.input_count
+    assert len(obf.seed_cts) == dio.prf_config.seed_bits
+    assert not hasattr(obf, "mask_ct_consts")
 
+    for bits in ([0, 1], [1, 1]):
+        out = dio.eval(tmp_path, obf, xor_and_builder, bits)
+        assert out == [bits[0] ^ bits[1], bits[0] & bits[1]], (bits, out)
 
-def test_diamond_io_with_lut(tmp_path):
-    params = RingParams.new(4, 3, 17, 6)
-    dio = DiamondIO(params, input_count=2, batch_bits=1, seed=82)
-    builder = make_lut_builder(params)
-    obf = dio.obfuscate(tmp_path, builder)
-    for b0 in (0, 1):
-        for b1 in (0, 1):
-            out = dio.eval(tmp_path, obf, builder, [b0, b1])
-            assert out == [b0 & b1], (b0, b1, out)
+    # relation asserts against the reconstructed final secret (reference
+    # MXX_DIAMOND_IO_EVAL_RELATION_ASSERTS): c_one = sigma (A_one - G)
+    from mxx_tpu.bgg import BGGPublicKeySampler
+
+    digits = [1, 0]
+    states = dio.injector.online_eval(tmp_path, obf.preprocess_out, digits)
+    sigma = dio.injector.debug_final_secret_matrix(tmp_path, digits)
+    pk_sampler = BGGPublicKeySampler(obf.hash_key, 1)
+    pubkeys = pk_sampler.sample(params, b"diamond_bgg", [True] * 2)
+    one_pk = pubkeys[0]
+    gadget = PolyMatrix.gadget_matrix(params, 1)
+    one_vec = states[0] @ dio._read(tmp_path, "one_preimage")
+    want = sigma @ (one_pk.matrix - gadget)
+    assert one_vec == want, "one encoding must satisfy sigma (A_one - G)"
