@@ -39,6 +39,118 @@ PAD_POW2 = False
 _BATCHABLE = {ADD, SUB, MUL, SMALL_SCALAR_MUL, LARGE_SCALAR_MUL}
 
 
+class WireStore:
+    """Wire map with a device-resident byte budget (reference eval.rs
+    compact-form wire caching, :24-27 and :210-921): when live wires exceed
+    `budget_bytes`, the least-recently-touched BGG wires spill to host compact
+    bytes and rehydrate transparently on next access. `peak_live_bytes`
+    records the high-water mark for tests/benches."""
+
+    def __init__(self, params, budget_bytes: int = 0):
+        self.params = params
+        self.budget = budget_bytes
+        self.live: dict = {}
+        self.spilled: dict = {}
+        self.clock = 0
+        self.last_touch: dict = {}
+        self.live_bytes = 0
+        self.peak_live_bytes = 0
+        self.spill_count = 0
+
+    # -- byte accounting (uint32 limb planes)
+
+    @staticmethod
+    def _wire_bytes(w) -> int:
+        from ..bgg import BggEncoding, BggPublicKey
+
+        if isinstance(w, BggEncoding):
+            total = int(w.vector.data.nbytes) + int(w.pubkey.matrix.data.nbytes)
+            return total
+        if isinstance(w, BggPublicKey):
+            return int(w.matrix.data.nbytes)
+        return 0  # foreign wire types are not tracked or spilled
+
+    # -- compact-form spill/rehydrate
+
+    def _to_compact(self, w):
+        from ..bgg import BggEncoding, BggPublicKey
+
+        if isinstance(w, BggEncoding):
+            pt = w.plaintext.to_compact_bytes() if w.plaintext is not None else None
+            return (
+                "enc",
+                w.vector.to_compact_bytes(),
+                w.pubkey.matrix.to_compact_bytes(),
+                w.pubkey.reveal_plaintext,
+                pt,
+            )
+        assert isinstance(w, BggPublicKey)
+        return ("pk", w.matrix.to_compact_bytes(), w.reveal_plaintext)
+
+    def _from_compact(self, rec):
+        from ..bgg import BggEncoding, BggPublicKey
+        from ..matrix import PolyMatrix
+        from ..ring.poly import Poly
+
+        if rec[0] == "enc":
+            _, vec_b, pk_b, reveal, pt_b = rec
+            pt = Poly.from_compact_bytes(self.params, pt_b) if pt_b is not None else None
+            return BggEncoding(
+                PolyMatrix.from_compact_bytes(self.params, vec_b),
+                BggPublicKey(PolyMatrix.from_compact_bytes(self.params, pk_b), reveal),
+                pt,
+            )
+        _, m_b, reveal = rec
+        return BggPublicKey(PolyMatrix.from_compact_bytes(self.params, m_b), reveal)
+
+    def _enforce(self):
+        if not self.budget or self.live_bytes <= self.budget:
+            return
+        # spill least-recently-touched spillable wires until under budget
+        order = sorted(
+            (gid for gid in self.live if _is_bgg(self.live[gid])),
+            key=lambda gid: self.last_touch.get(gid, 0),
+        )
+        for gid in order:
+            if self.live_bytes <= self.budget:
+                break
+            w = self.live.pop(gid)
+            self.live_bytes -= self._wire_bytes(w)
+            self.spilled[gid] = self._to_compact(w)
+            self.spill_count += 1
+
+    # -- mapping surface used by the evaluator
+
+    def __setitem__(self, gid, w):
+        self.pop(gid, None)
+        self.live[gid] = w
+        self.clock += 1
+        self.last_touch[gid] = self.clock
+        self.live_bytes += self._wire_bytes(w)
+        self.peak_live_bytes = max(self.peak_live_bytes, self.live_bytes)
+        self._enforce()
+
+    def __getitem__(self, gid):
+        if gid in self.live:
+            self.clock += 1
+            self.last_touch[gid] = self.clock
+            return self.live[gid]
+        w = self._from_compact(self.spilled.pop(gid))
+        self[gid] = w
+        return w
+
+    def __contains__(self, gid):
+        return gid in self.live or gid in self.spilled
+
+    def pop(self, gid, default=None):
+        if gid in self.live:
+            w = self.live.pop(gid)
+            self.live_bytes -= self._wire_bytes(w)
+            self.last_touch.pop(gid, None)
+            return w
+        return self.spilled.pop(gid, default)
+
+
 def _pad_pow2(items: list) -> list:
     """Identity by default: padding batch widths to powers of two bounds XLA
     compile variants but measurably loses at small widths (the repeated tail
@@ -325,12 +437,26 @@ def _exec_large_scalar_mul(circuit, params, gates, wires, resolve):
 
 
 def eval_batched(circuit, params, one, inputs, plt_evaluator=None,
-                 slot_transfer_evaluator=None, param_bindings: tuple = ()):
+                 slot_transfer_evaluator=None, param_bindings: tuple = (),
+                 live_bytes_budget: int | None = None, wire_store_out: list | None = None):
     """Drop-in for PolyCircuit.eval with level-grouped batched device ops.
-    Results are bit-identical to the sequential evaluator."""
+    Results are bit-identical to the sequential evaluator. With a
+    `live_bytes_budget` (or MXX_CIRCUIT_LIVE_BYTES_BUDGET), idle wires beyond
+    the budget spill to host compact bytes (pass `wire_store_out=[]` to
+    receive the WireStore for peak/spill introspection)."""
+    from .. import config
+
     assert len(inputs) == circuit.num_input
     uses = circuit.use_counts()
-    wires = {0: one}
+    budget = (
+        live_bytes_budget
+        if live_bytes_budget is not None
+        else config.circuit_live_bytes_budget()
+    )
+    wires = WireStore(params, budget)
+    if wire_store_out is not None:
+        wire_store_out.append(wires)
+    wires[0] = one
     for i, v in enumerate(inputs):
         wires[i + 1] = v
     remaining = list(uses)
@@ -349,6 +475,7 @@ def eval_batched(circuit, params, one, inputs, plt_evaluator=None,
         return eval_batched(
             sub, params, one, sub_inputs, plt_evaluator,
             slot_transfer_evaluator, param_bindings=bindings,
+            live_bytes_budget=budget,
         )
 
     def eval_one(g):

@@ -93,8 +93,8 @@ class Wee25Commit:
         g = PolyMatrix.gadget_matrix(params, 1)
         return [g.entry(0, t).const_coeff() for t in range(params.modulus_digits)]
 
-    def sample_public_params(self, params, hash_key: bytes, seed: int | None = None
-                             ) -> Wee25PublicParams:
+    def sample_public_params(self, params, hash_key: bytes, seed: int | None = None,
+                             mesh=None) -> Wee25PublicParams:
         """Sample (B, T), T_bottom, and all T_top preimages (wee25.rs:494-760)."""
         log_q = self._log_q(params)
         assert log_q == params.modulus_digits, "m_g must equal d * modulus_digits"
@@ -110,6 +110,7 @@ class Wee25Commit:
         q = params.modulus
         t_top: dict[int, PolyMatrix] = {}
         pp_size = self.l * self.m_g
+        targets: list[PolyMatrix] = []
         for block_idx in range(pp_size):
             g_col = block_idx // self.m_g  # message column g
             r = block_idx % self.m_g
@@ -129,8 +130,11 @@ class Wee25Commit:
             y_b = PolyMatrix.from_polys(params, y_rows)
             j_b = y_b.decompose()  # m_g x j2m
             w_b = self._w_block(params, hash_key, block_idx)
-            target = gadget @ j_b - w_b @ t_bottom
-            t_top[block_idx] = ts.preimage(params, trapdoor, b, target)
+            targets.append(gadget @ j_b - w_b @ t_bottom)
+        # every T_top block shares (B, T): one mesh-sharded batched program
+        preimages = ts.preimage_batched_chunked(params, trapdoor, b, targets, mesh=mesh)
+        for block_idx, pre in enumerate(preimages):
+            t_top[block_idx] = pre
         return Wee25PublicParams(b, t_bottom, t_top, hash_key)
 
     # ------------------------------------------------------------- commit

@@ -44,6 +44,13 @@ def lut_bytes_limit() -> int:
     return _env_int("LUT_BYTES_LIMIT", 1 << 30)
 
 
+def circuit_live_bytes_budget() -> int:
+    """Device-resident wire budget for the batched circuit evaluator; idle
+    wires beyond it spill to host compact bytes (reference eval.rs compact-
+    form wire caching). 0 = unbounded."""
+    return _env_int("MXX_CIRCUIT_LIVE_BYTES_BUDGET", 0)
+
+
 def diamond_io_eval_relation_asserts() -> bool:
     return os.environ.get("MXX_DIAMOND_IO_EVAL_RELATION_ASSERTS", "") == "1"
 

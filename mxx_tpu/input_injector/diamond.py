@@ -4,14 +4,19 @@ TPU-build of /root/reference/src/input_injector/mod.rs. Preprocessing builds,
 per level l (1..=input_count), digit value, and branch state, the transition
 preimage
     K_{l,digit,state} = B_{l-1,src}^{-1}( S * B_{l,state} + e )
-with 2x2 selectors S over a per-(level,digit) ternary mask s' (state 0 keeps
-the k payload: [[s',0],[0,1]]; newly-born bit branches embed one digit bit:
-[[s', x*s'],[0,0]] applied to the empty-prefix state; existing bit branches
-propagate: [[s',0],[0,s']]). The empty-prefix seed is
-    p_eps = [s_eps, k] * B_{0,0} + e.
-Online evaluation threads the chosen digits through the stored K chain; the
-final states encode [sigma, k] and [sigma, bit*sigma] under the final bases
-(sigma = s_eps * prod of chosen masks), ready for output-projection preimages.
+with 2x2 BLOCK selectors S over a per-(level,digit) ternary d x d mask S'
+(d = secret_size; state 0 keeps the k payload: [[S',0],[0,I]]; newly-born bit
+branches embed one digit bit: [[S', x*S'],[0,0]] applied to the empty-prefix
+state; existing bit branches propagate: [[S',0],[0,S']]). The empty-prefix
+seed is
+    p_eps = [s_eps, k*e_1] * B_{0,0} + e,
+with s_eps a 1 x d ternary row and the payload k riding the first coordinate
+of the second block. Online evaluation threads the chosen digits through the
+stored K chain; the final states encode [sigma, k*e_1] (state 0) and
+[sigma, bit*sigma] (bit branches) under the final bases
+(sigma = s_eps * prod of chosen masks, a 1 x d row), ready for
+output-projection preimages. The reference pins DIAMOND_SECRET_SIZE = 1
+(input_injector/mod.rs:22); here it is a constructor parameter.
 """
 
 from __future__ import annotations
@@ -44,7 +49,8 @@ class DiamondInjectorPreprocessOut:
 
 class DiamondInjector:
     def __init__(self, params, input_count: int, base: int, batch_bits: int,
-                 trapdoor_sigma: float, error_sigma: float, seed: int | None = None):
+                 trapdoor_sigma: float, error_sigma: float, seed: int | None = None,
+                 mesh=None, secret_size: int = DIAMOND_SECRET_SIZE):
         assert base >= (1 << batch_bits), "base must be at least 2^batch_bits"
         self.params = params
         self.input_count = input_count
@@ -52,6 +58,8 @@ class DiamondInjector:
         self.batch_bits = batch_bits
         self.trapdoor_sigma = trapdoor_sigma
         self.error_sigma = error_sigma
+        self.secret_size = secret_size
+        self.mesh = mesh  # preprocess transition sampling shards over 'col'
         self._uniform = UniformSampler(seed)
         self._trap = TrapdoorSampler(params, trapdoor_sigma, seed=seed)
 
@@ -59,7 +67,7 @@ class DiamondInjector:
 
     @property
     def state_row_size(self) -> int:
-        return DIAMOND_PREFIX_SIZE * DIAMOND_SECRET_SIZE
+        return DIAMOND_PREFIX_SIZE * self.secret_size
 
     def state_col_size(self) -> int:
         return self.state_row_size * (self.params.modulus_digits + 2)
@@ -121,10 +129,10 @@ class DiamondInjector:
             return PolyMatrix.zero(self.params, nrow, ncol)
         return self._uniform.sample_uniform(self.params, nrow, ncol, GaussDist(self.error_sigma))
 
-    def _load_or_sample_secret(self, d, mid) -> PolyMatrix:
+    def _load_or_sample_secret(self, d, mid, nrow: int, ncol: int) -> PolyMatrix:
         if self._mpath(d, mid).exists():
             return self.read_matrix(d, mid)
-        s = self._uniform.sample_uniform(self.params, 1, 1, TernaryDist())
+        s = self._uniform.sample_uniform(self.params, nrow, ncol, TernaryDist())
         self._write_matrix(d, mid, s)
         return s
 
@@ -140,23 +148,24 @@ class DiamondInjector:
         return td, b
 
     # ------------------------------------------------------------ selectors
+    # 2x2 BLOCK selectors over the d x d ternary mask S (d = secret_size)
+
+    def _zero_block(self) -> PolyMatrix:
+        return PolyMatrix.zero(self.params, self.secret_size, self.secret_size)
 
     def _transition_selector(self, mask: PolyMatrix) -> PolyMatrix:
-        z = Poly.zero(self.params)
-        s = mask.entry(0, 0)
-        return PolyMatrix.from_polys(self.params, [[s, z], [z, s]])
+        z = self._zero_block()
+        return mask.concat_columns([z]).concat_rows([z.concat_columns([mask])])
 
     def _k_transition_selector(self, mask: PolyMatrix) -> PolyMatrix:
-        z = Poly.zero(self.params)
-        s = mask.entry(0, 0)
-        return PolyMatrix.from_polys(self.params, [[s, z], [z, Poly.one(self.params)]])
+        z = self._zero_block()
+        eye = PolyMatrix.identity(self.params, self.secret_size)
+        return mask.concat_columns([z]).concat_rows([z.concat_columns([eye])])
 
     def _special_transition_selector(self, bit_value: int, mask: PolyMatrix) -> PolyMatrix:
-        z = Poly.zero(self.params)
-        s = mask.entry(0, 0)
-        return PolyMatrix.from_polys(
-            self.params, [[s, s * Poly.const(self.params, bit_value)], [z, z]]
-        )
+        z = self._zero_block()
+        xs = mask.mul_poly_scalar(Poly.const(self.params, bit_value))
+        return mask.concat_columns([xs]).concat_rows([z.concat_columns([z])])
 
     # ------------------------------------------------------------ preprocess
 
@@ -189,16 +198,26 @@ class DiamondInjector:
             trapdoors.append(level_t)
             b_checkpoints.append(level_b)
 
-        secret_eps = self._load_or_sample_secret(d, self.secret_epsilon_id())
+        ds = self.secret_size
+        secret_eps = self._load_or_sample_secret(d, self.secret_epsilon_id(), 1, ds)
         if not self._mpath(d, self.p_epsilon_id()).exists():
-            selector = PolyMatrix.from_poly_row(self.params, [secret_eps.entry(0, 0), k])
+            # [s_eps | k*e_1]: the payload rides the first coordinate of the
+            # second block
+            k_row = [k] + [Poly.zero(self.params)] * (ds - 1)
+            selector = secret_eps.concat_columns(
+                [PolyMatrix.from_poly_row(self.params, k_row)]
+            )
             p_eps = selector @ b_checkpoints[0][0] + self._error(1, self.state_col_size())
             self._write_matrix(d, self.p_epsilon_id(), p_eps)
 
         for level in range(1, self.input_count + 1):
+            # transitions sharing a source state share its trapdoor: group by
+            # src and sample each group as ONE mesh-sharded batched program
+            # (reference multi-GPU round-robin, diamond_gpu.rs:121-262)
+            pending: dict[int, list[tuple[str, PolyMatrix]]] = {}
             for digit_value in range(self.base):
                 mask = self._load_or_sample_secret(
-                    d, self.digit_secret_id(level, digit_value)
+                    d, self.digit_secret_id(level, digit_value), ds, ds
                 )
                 for state_idx in range(self.state_count_at_level(level)):
                     kid = self.k_id(level, digit_value, state_idx)
@@ -217,12 +236,16 @@ class DiamondInjector:
                         self.state_row_size, self.state_col_size()
                     )
                     src = self.transition_source_state_idx(level, state_idx)
-                    k_mat = self._trap.preimage(
-                        self.params,
-                        trapdoors[level - 1][src],
-                        b_checkpoints[level - 1][src],
-                        target,
-                    )
+                    pending.setdefault(src, []).append((kid, target))
+            for src, items in pending.items():
+                preimages = self._trap.preimage_batched_chunked(
+                    self.params,
+                    trapdoors[level - 1][src],
+                    b_checkpoints[level - 1][src],
+                    [t for _, t in items],
+                    mesh=self.mesh,
+                )
+                for (kid, _), k_mat in zip(items, preimages):
                     self._write_matrix(d, kid, k_mat)
         return DiamondInjectorPreprocessOut(trapdoors[-1], b_checkpoints[-1])
 
@@ -234,16 +257,16 @@ class DiamondInjector:
         """TEST-ONLY: reconstruct sigma_final = s_eps * prod(level masks) from
         the persisted secrets (reference injector debug_final_secret_matrix;
         used by relation asserts, env.rs MXX_DIAMOND_IO_EVAL_RELATION_ASSERTS).
-        Returns the 1x1 secret sigma such that final wires satisfy
+        Returns the 1 x d secret row sigma such that final wires satisfy
         c = sigma (A - x G)."""
         d = Path(dir_path)
-        sigma = self.read_matrix(d, self.secret_epsilon_id()).entry(0, 0)
+        sigma = self.read_matrix(d, self.secret_epsilon_id())  # 1 x d
         for digit_idx, digit_value in enumerate(input_digits):
             mask = self.read_matrix(
                 d, self.digit_secret_id(digit_idx + 1, digit_value)
-            ).entry(0, 0)
-            sigma = sigma * mask
-        return PolyMatrix.from_polys(self.params, [[sigma]])
+            )  # d x d
+            sigma = sigma @ mask
+        return sigma
 
     # ------------------------------------------------------------ online
 

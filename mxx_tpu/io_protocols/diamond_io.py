@@ -96,6 +96,8 @@ class DiamondIO:
         prf_config: PrfConfig | None = None,
         pk_plt_evaluator_factory=None,
         enc_plt_evaluator_factory=None,
+        secret_size: int = DIAMOND_SECRET_SIZE,
+        mesh=None,
     ):
         self.params = params
         self.input_count = input_count
@@ -103,8 +105,10 @@ class DiamondIO:
         self.base = 1 << batch_bits
         self.trapdoor_sigma = trapdoor_sigma
         self.error_sigma = error_sigma
+        self.secret_size = secret_size
         self.injector = DiamondInjector(
-            params, input_count, self.base, batch_bits, trapdoor_sigma, error_sigma, seed
+            params, input_count, self.base, batch_bits, trapdoor_sigma, error_sigma,
+            seed, mesh=mesh, secret_size=secret_size,
         )
         self._seed = seed
         self._trap = TrapdoorSampler(params, trapdoor_sigma, seed=seed)
@@ -239,17 +243,23 @@ class DiamondIO:
     # -------------------------------------------------------------- offline
 
     def _sample_final_output_preimage(self, pre_out, state_idx, pubkey,
-                                      top_plaintext, bottom_plaintext):
+                                      top_plaintext, bottom_plaintext,
+                                      k_channel: bool = False):
         params = self.params
-        g = PolyMatrix.gadget_matrix(params, DIAMOND_SECRET_SIZE)
+        d = self.secret_size
+        g = PolyMatrix.gadget_matrix(params, d)
         top = pubkey.matrix
         if top_plaintext is not None:
             top = top - g.mul_poly_scalar(top_plaintext)
-        bottom = (
-            -g.mul_poly_scalar(bottom_plaintext)
-            if bottom_plaintext is not None
-            else PolyMatrix.zero(params, DIAMOND_SECRET_SIZE, top.ncol)
-        )
+        if bottom_plaintext is None:
+            bottom = PolyMatrix.zero(params, d, top.ncol)
+        elif k_channel and d > 1:
+            # the payload rides k*e_1 in the state's second block, so only the
+            # FIRST bottom row carries -G's first row block
+            row0 = -g.slice_rows(0, 1).mul_poly_scalar(bottom_plaintext)
+            bottom = row0.concat_rows([PolyMatrix.zero(params, d - 1, top.ncol)])
+        else:
+            bottom = -g.mul_poly_scalar(bottom_plaintext)
         td, b = pre_out.final_checkpoint(state_idx)
         return self._trap.preimage(params, td, b, top.concat_rows([bottom]))
 
@@ -311,12 +321,12 @@ class DiamondIO:
             original_seed_bits.append(bit)
             seed_cts.append(native_encrypt(prf.ctx, k_int, bit, rng, self.error_sigma))
 
-        pk_sampler = BGGPublicKeySampler(hash_key, DIAMOND_SECRET_SIZE)
+        pk_sampler = BGGPublicKeySampler(hash_key, self.secret_size)
         pubkeys = pk_sampler.sample(params, b"diamond_bgg", [True] * num_bits)
         one_pubkey, input_pubkeys = pubkeys[0], pubkeys[1:]
         k_pubkey = pk_sampler.sample(params, b"diamond_k", [False])[1]
         negk_pubkey = BggPublicKey(
-            PolyMatrix.zero(params, DIAMOND_SECRET_SIZE, k_pubkey.matrix.ncol)
+            PolyMatrix.zero(params, self.secret_size, k_pubkey.matrix.ncol)
             - k_pubkey.matrix,
             False,
         )
@@ -326,9 +336,9 @@ class DiamondIO:
         if self._pk_plt_factory is not None:
             pk_eval = self._pk_plt_factory(self, d, hash_key, pre_out)
         else:
-            lut_trapdoor, lut_b = self._trap.trapdoor(params, DIAMOND_SECRET_SIZE)
+            lut_trapdoor, lut_b = self._trap.trapdoor(params, self.secret_size)
             bridge_target = lut_b.concat_rows(
-                [PolyMatrix.zero(params, DIAMOND_SECRET_SIZE, lut_b.ncol)]
+                [PolyMatrix.zero(params, self.secret_size, lut_b.ncol)]
             )
             td0, b0 = pre_out.final_checkpoint(0)
             bridge = self._trap.preimage(params, td0, b0, bridge_target)
@@ -375,7 +385,9 @@ class DiamondIO:
         # k-wire preimage: target [A_k; -G] gives c_k = sigma*(A_k - k*G)
         self._write(
             d, "k_preimage",
-            self._sample_final_output_preimage(pre_out, 0, k_pubkey, None, one_plaintext),
+            self._sample_final_output_preimage(
+                pre_out, 0, k_pubkey, None, one_plaintext, k_channel=True
+            ),
         )
         for bit_idx, pubkey in enumerate(input_pubkeys):
             digit_idx = bit_idx // self.batch_bits
@@ -387,12 +399,12 @@ class DiamondIO:
             )
 
         # masked decoder preimages on the sd_total output pubkeys
-        sel = PolyMatrix.identity(params, DIAMOND_SECRET_SIZE).slice_columns(0, 1)
+        sel = PolyMatrix.identity(params, self.secret_size).slice_columns(0, 1)
         td0, b0 = pre_out.final_checkpoint(0)
         for out_idx in range(num_outputs):
             sd_pk = result_pubkeys[3 * out_idx]
             top = sd_pk.matrix.mul_decompose(sel)
-            bottom = PolyMatrix.zero(params, DIAMOND_SECRET_SIZE, top.ncol)
+            bottom = PolyMatrix.zero(params, self.secret_size, top.ncol)
             pre = self._trap.preimage(params, td0, b0, top.concat_rows([bottom]))
             self._write(d, f"decoder_preimage_{out_idx}", pre)
 
@@ -421,7 +433,7 @@ class DiamondIO:
 
         states = self.injector.online_eval(d, obf.preprocess_out, digits)
 
-        pk_sampler = BGGPublicKeySampler(obf.hash_key, DIAMOND_SECRET_SIZE)
+        pk_sampler = BGGPublicKeySampler(obf.hash_key, self.secret_size)
         pubkeys = pk_sampler.sample(params, b"diamond_bgg", [True] * self.num_input_bits)
         one_pubkey, input_pubkeys = pubkeys[0], pubkeys[1:]
         k_pubkey = pk_sampler.sample(params, b"diamond_k", [False])[1]
@@ -479,7 +491,7 @@ class DiamondIO:
             )
 
         # masked decode: proj - c_sd G^{-1}(e0) + pb_plaintext + pb_mask
-        sel = PolyMatrix.identity(params, DIAMOND_SECRET_SIZE).slice_columns(0, 1)
+        sel = PolyMatrix.identity(params, self.secret_size).slice_columns(0, 1)
         q = params.modulus
         out_bits = []
         for out_idx in range(obf.num_outputs):

@@ -3,14 +3,20 @@
 TPU-native build of the reference GGH15 lookup
 (/root/reference/src/lookup/ggh15/{pubkey.rs,encoding.rs}; SURVEY.md A.2).
 
-Structure: two trapdoors (B0, T0), (B1, T1). Per LUT, hash-derived blocks
-W_id, W_gy, W_v, W_vx (d x m_g). Per LUT row k (input value x_k == k for this
-family), a B1-preimage
+Structure: two trapdoors (B0, T0), (B1, T1). Per LUT entry x -> (row k, y), a
+B1-preimage keyed by the INPUT value x
 
-    L_k = B1^{-1}( W_id + W_gy G^{-1}(G y_k) + W_v V_k + W_vx (V_k x_k) ),
+    L_x = B1^{-1}( W_id + W_gy G^{-1}(G y) + W_v V_k + W_vx (V_k x) ),
 
-with V_k = HashDecomposed("ggh15_lut_v_idx_{lut}_{k}"). Per gate g with input
-pubkey A_z, a fresh ternary secret s_g and five B0-preimages:
+with hash-derived blocks W_id, W_gy, W_v, W_vx (d x m_g) per LUT and
+V_k = HashDecomposed("ggh15_lut_v_idx_{lut}_{k}") per output row. Keying the
+aux preimage by x (while V stays keyed by k) makes ARBITRARY x -> (k, y)
+tables exact: the W_vx legs telescope because both sides use the same x
+(the reference keys its aux by k and uses idx_poly = k offline vs the runtime
+x online, pubkey.rs:1559-1567 + encoding.rs:246, so its algebra only closes
+for tables with x == k — every reference GGH15 test uses such a table).
+Per gate g with input pubkey A_z, a fresh ternary secret s_g and five
+B0-preimages:
 
     P1     = B0^{-1}( s_g B1 + e )
     P2_id  = B0^{-1}( s_g W_id + A_out + e )        A_out = Hash("ggh15_gate_a_out_{g}")
@@ -20,16 +26,19 @@ pubkey A_z, a fresh ternary secret s_g and five B0-preimages:
 
 Online, with c_b0 ~ s B0 and input wire (c_z, A_z, x):
 
-    c_out = c_b0 [ P2_id + P2_gy G^{-1}(G y) + P2_v V_k + P2_vx (V_k x) - P1 L_k ]
+    c_out = c_b0 [ P2_id + P2_gy G^{-1}(G y) + P2_v V_k + P2_vx (V_k x) - P1 L_x ]
             + c_z G^{-1}(U_g) V_k
           ~ s A_out - y (s G),
 
-an encoding of y under A_out (the s_g.W terms telescope through L_k, and the
+an encoding of y under A_out (the s_g.W terms telescope through L_x, and the
 U_g terms cancel between P2_v/P2_vx and the c_z leg).
 
 All artifacts persist under a deterministic checkpoint prefix, column-chunked,
 and `sample_aux_matrices` resumes partially-sampled chains
-(reference pubkey.rs:772,1244-1272).
+(reference pubkey.rs:772,1244-1272). The online reduction is wave-pipelined
+(reference encoding.rs:50-140): it walks stored column chunks, and because XLA
+dispatch is asynchronous the host read of chunk N+1 overlaps the device
+multiply of chunk N.
 """
 
 from __future__ import annotations
@@ -131,11 +140,13 @@ class GGH15BGGPubKeyPltEvaluator:
         error_sigma: float,
         dir_path,
         seed: int | None = None,
+        mesh=None,
     ):
         self.hash_key = hash_key
         self.d = d
         self.trapdoor_sigma = trapdoor_sigma
         self.error_sigma = error_sigma
+        self.mesh = mesh  # offline preimage sampling shards over mesh 'col' axis
         self.dir_path = Path(dir_path)
         self.lut_state: dict[int, PublicLut] = {}
         self.gate_state: dict[int, _GateState] = {}
@@ -152,8 +163,9 @@ class GGH15BGGPubKeyPltEvaluator:
             f"_es{self.error_sigma}_ins0_key{key_digest}"
         )
 
-    def _lut_aux_id(self, params, lut_id: int, k: int) -> str:
-        return f"{self.checkpoint_prefix(params)}_lut_aux_{lut_id}_idx{k}"
+    def _lut_aux_id(self, params, lut_id: int, x: int) -> str:
+        # keyed by the entry INPUT x, not the output row k: see module doc
+        return f"{self.checkpoint_prefix(params)}_lut_aux_{lut_id}_in{x}"
 
     def _gate_id_prefix(self, params, stage: str, gate_id: int) -> str:
         return f"{self.checkpoint_prefix(params)}_preimage_{stage}_{gate_id}"
@@ -245,28 +257,36 @@ class GGH15BGGPubKeyPltEvaluator:
 
         gadget = PolyMatrix.gadget_matrix(params, d)
 
-        # LUT preimages under B1 (resume row-by-row)
+        # LUT preimages under B1 (resume row-by-row); pending entries share
+        # the B1 trapdoor, so they sample as ONE mesh-sharded batched program
+        # (reference multi-GPU entry fan-out, ggh15/pubkey_gpu.rs)
         for lut_id, plt in list(self.lut_state.items()):
             w_id = self._derive_w_block(params, lut_id, "block_identity")
             w_gy = self._derive_w_block(params, lut_id, "block_gy")
             w_v = self._derive_w_block(params, lut_id, "block_v")
             w_vx = self._derive_w_block(params, lut_id, "block_vx")
+            aux_ids, targets = [], []
             for x, (k, y) in plt.entries(params):
-                aux_id = self._lut_aux_id(params, lut_id, k)
+                aux_id = self._lut_aux_id(params, lut_id, x)
                 if chunks_complete(storage, aux_id, m_g):
                     continue
                 y_poly = Poly.from_elem_to_constant(params, y)
                 x_poly = Poly.const(params, x)
                 v_k = self._v_idx(params, lut_id, k)
                 gy_dec = gadget.mul_poly_scalar(y_poly).decompose()
-                target = (
+                aux_ids.append(aux_id)
+                targets.append(
                     w_id
                     + w_gy @ gy_dec
                     + w_v @ v_k
                     + w_vx @ v_k.mul_poly_scalar(x_poly)
                 )
-                l_k = trap_sampler.preimage(params, b1_trapdoor, b1_matrix, target)
-                store_matrix_chunked(l_k, aux_id)
+            if targets:
+                preimages = trap_sampler.preimage_batched_chunked(
+                    params, b1_trapdoor, b1_matrix, targets, mesh=self.mesh
+                )
+                for aux_id, l_x in zip(aux_ids, preimages):
+                    store_matrix_chunked(l_x, aux_id)
             self.lut_state.pop(lut_id)
 
         # gate preimages under B0 (resume stage-by-stage)
@@ -288,12 +308,20 @@ class GGH15BGGPubKeyPltEvaluator:
                 + self._error(params, d, m_g),
                 "gate2_vx": s_g @ w_vx + u_g + self._error(params, d, m_g),
             }
+            # the five stages share the B0 trapdoor: one mesh-sharded batch
+            prefixes, targets = [], []
             for stage, target in stages.items():
                 prefix = self._gate_id_prefix(params, stage, gate_id)
                 if chunks_complete(storage, prefix, target.ncol):
                     continue
-                pre = trap_sampler.preimage(params, b0_trapdoor, b0_matrix, target)
-                store_matrix_chunked(pre, prefix)
+                prefixes.append(prefix)
+                targets.append(target)
+            if targets:
+                preimages = trap_sampler.preimage_batched_chunked(
+                    params, b0_trapdoor, b0_matrix, targets, mesh=self.mesh
+                )
+                for prefix, pre in zip(prefixes, preimages):
+                    store_matrix_chunked(pre, prefix)
             self.gate_state.pop(gate_id)
 
 
@@ -342,10 +370,35 @@ class GGH15BGGEncodingPltEvaluator:
         self.c_b0 = c_b0
         self._hash = HashSampler()
 
-    def _read(self, params, id_prefix: str, total_cols: int) -> PolyMatrix:
-        m = read_matrix_chunked(params, self.dir_path, id_prefix, total_cols)
-        assert m is not None, f"missing GGH15 artifact {id_prefix}"
+    def _read_chunk(self, params, id_prefix: str, chunk_idx: int) -> PolyMatrix:
+        m = read_matrix_from_multi_batch(
+            params, self.dir_path, chunk_prefix(id_prefix, chunk_idx), 0
+        )
+        assert m is not None, f"missing GGH15 artifact {id_prefix} chunk {chunk_idx}"
         return m
+
+    def _mul_chunked_with_rhs(self, params, id_prefix: str, total_cols: int,
+                              rhs: PolyMatrix) -> PolyMatrix:
+        """sum_ci stored[:, chunk ci] @ rhs[rows of chunk ci, :] without
+        materializing the stored matrix (reference
+        mul_chunked_checkpoint_with_rhs, encoding.rs:50-140). XLA dispatch is
+        asynchronous, so the host read of chunk N+1 overlaps the device
+        multiply of chunk N — the wave pipeline."""
+        acc = None
+        for ci in range(column_chunk_count(total_cols)):
+            s, ln = column_chunk_bounds(total_cols, ci)
+            term = self._read_chunk(params, id_prefix, ci) @ rhs.slice_rows(s, s + ln)
+            acc = term if acc is None else acc + term
+        return acc
+
+    def _left_mul_chunked(self, params, left: PolyMatrix, id_prefix: str,
+                          total_cols: int) -> PolyMatrix:
+        """left @ stored, walking stored column chunks (concat, not sum)."""
+        outs = [
+            left @ self._read_chunk(params, id_prefix, ci)
+            for ci in range(column_chunk_count(total_cols))
+        ]
+        return outs[0] if len(outs) == 1 else outs[0].concat_columns(outs[1:])
 
     def public_lookup(self, params, plt, one, input_enc: BggEncoding, gate_id, lut_id):
         assert input_enc.plaintext is not None, "GGH15 lookup input must reveal plaintext"
@@ -372,18 +425,37 @@ class GGH15BGGEncodingPltEvaluator:
         ).decompose()
         gadget = PolyMatrix.gadget_matrix(params, d)
 
-        p1 = self._read(params, f"{self.cp}_preimage_gate1_{gate_id}", m_b)
-        p2_id = self._read(params, f"{self.cp}_preimage_gate2_identity_{gate_id}", m_g)
-        p2_gy = self._read(params, f"{self.cp}_preimage_gate2_gy_{gate_id}", m_g)
-        p2_v = self._read(params, f"{self.cp}_preimage_gate2_v_{gate_id}", m_g)
-        p2_vx = self._read(params, f"{self.cp}_preimage_gate2_vx_{gate_id}", m_g)
-        l_k = self._read(params, f"{self.cp}_lut_aux_{lut_id}_idx{k}", m_g)
-
         gy_dec = gadget.mul_poly_scalar(y_poly).decompose()
-        c = self.c_b0 @ p2_id
-        c = c + self.c_b0 @ (p2_gy @ gy_dec)
-        c = c + self.c_b0 @ (p2_v @ v_k)
-        c = c + self.c_b0 @ (p2_vx @ v_k.mul_poly_scalar(x_poly))
-        c = c - self.c_b0 @ (p1 @ l_k)
+        gate1_prefix = f"{self.cp}_preimage_gate1_{gate_id}"
+        lut_aux_prefix = f"{self.cp}_lut_aux_{lut_id}_in{int(x)}"
+
+        # wave-pipelined chunked reduction over the stored artifacts
+        c = self._left_mul_chunked(
+            params, self.c_b0, f"{self.cp}_preimage_gate2_identity_{gate_id}", m_g
+        )
+        c = c + self.c_b0 @ self._mul_chunked_with_rhs(
+            params, f"{self.cp}_preimage_gate2_gy_{gate_id}", m_g, gy_dec
+        )
+        c = c + self.c_b0 @ self._mul_chunked_with_rhs(
+            params, f"{self.cp}_preimage_gate2_v_{gate_id}", m_g, v_k
+        )
+        c = c + self.c_b0 @ self._mul_chunked_with_rhs(
+            params, f"{self.cp}_preimage_gate2_vx_{gate_id}", m_g,
+            v_k.mul_poly_scalar(x_poly),
+        )
+        # P1 @ L_x, output column chunk at a time; each chunk reduces P1's
+        # stored inner chunks against the aux chunk's rows
+        p1l_chunks = []
+        for co in range(column_chunk_count(m_g)):
+            l_chunk = self._read_chunk(params, lut_aux_prefix, co)
+            p1l_chunks.append(
+                self.c_b0 @ self._mul_chunked_with_rhs(params, gate1_prefix, m_b, l_chunk)
+            )
+        p1l = (
+            p1l_chunks[0]
+            if len(p1l_chunks) == 1
+            else p1l_chunks[0].concat_columns(p1l_chunks[1:])
+        )
+        c = c - p1l
         c = c + input_enc.vector @ (u_g_dec @ v_k)
         return BggEncoding(c, BggPublicKey(a_out, True), y_poly)

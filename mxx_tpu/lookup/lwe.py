@@ -72,12 +72,14 @@ class LWEBGGPubKeyPltEvaluator:
         pub_matrix: PolyMatrix,
         trapdoor: Trapdoor,
         dir_path,
+        mesh=None,
     ):
         self.hash_key = hash_key
         self.trap_sampler = trap_sampler
         self.pub_matrix = pub_matrix
         self.trapdoor = trapdoor
         self.dir_path = Path(dir_path)
+        self.mesh = mesh  # offline K_high sampling shards over mesh 'col' axis
         self.lut_state: dict[int, PublicLut] = {}
         self.gate_state: dict[tuple[int, int], _GateState] = {}
 
@@ -107,7 +109,7 @@ class LWEBGGPubKeyPltEvaluator:
     def _sample_k_high_buffer(self, params, plt, a_z, a_lt, gate_id, lut_id, slot_idx):
         row_size = self.pub_matrix.nrow
         gadget = PolyMatrix.gadget_matrix(params, row_size)
-        rows = []
+        ks, targets = [], []
         for x_k, (k, y_k) in plt.entries(params):
             x_poly = Poly.const(params, x_k)
             y_poly = Poly.from_elem_to_constant(params, y_k)
@@ -116,9 +118,14 @@ class LWEBGGPubKeyPltEvaluator:
             k_low = derive_k_low(
                 params, row_size, self.hash_key, gate_id, lut_id, k, slot_idx
             )
-            adjusted = target - ext_matrix @ k_low
-            k_high = self.trap_sampler.preimage(params, self.trapdoor, self.pub_matrix, adjusted)
-            rows.append((k, k_high))
+            ks.append(k)
+            targets.append(target - ext_matrix @ k_low)
+        # all rows share (B, T): one batched program, column axis sharded over
+        # the mesh (reference multi-GPU k_high fan-out, lwe/pubkey_gpu.rs)
+        k_highs = self.trap_sampler.preimage_batched_chunked(
+            params, self.trapdoor, self.pub_matrix, targets, mesh=self.mesh
+        )
+        rows = list(zip(ks, k_highs))
         return get_lookup_buffer(rows, k_high_checkpoint_prefix(gate_id, lut_id, slot_idx))
 
 

@@ -470,6 +470,31 @@ class TrapdoorSampler:
             start += w
         return outs
 
+    def preimage_batched_chunked(
+        self,
+        params: RingParams,
+        trapdoor: "Trapdoor",
+        public_matrix: PolyMatrix,
+        targets: list[PolyMatrix],
+        mesh=None,
+        chunk: int | None = None,
+    ) -> list[PolyMatrix]:
+        """`preimage_batched_sharded` in request chunks so the fused program's
+        intermediates stay within device memory at large ring dimension (the
+        reference's LUT_PREIMAGE_CHUNK_SIZE batching, lwe/pubkey.rs:217-608).
+        Chunk unit = number of requests; default from config."""
+        from .. import config
+
+        chunk = chunk or config.lut_preimage_chunk_size()
+        outs: list[PolyMatrix] = []
+        for i in range(0, len(targets), chunk):
+            outs.extend(
+                self.preimage_batched_sharded(
+                    params, trapdoor, public_matrix, targets[i : i + chunk], mesh=mesh
+                )
+            )
+        return outs
+
     def preimage_extend(
         self,
         params: RingParams,
