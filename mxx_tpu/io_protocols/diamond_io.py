@@ -97,6 +97,7 @@ class DiamondIO:
         pk_plt_evaluator_factory=None,
         enc_plt_evaluator_factory=None,
         secret_size: int = DIAMOND_SECRET_SIZE,
+        num_slots: int = 1,
         mesh=None,
     ):
         self.params = params
@@ -106,6 +107,7 @@ class DiamondIO:
         self.trapdoor_sigma = trapdoor_sigma
         self.error_sigma = error_sigma
         self.secret_size = secret_size
+        self.num_slots = num_slots
         self.injector = DiamondInjector(
             params, input_count, self.base, batch_bits, trapdoor_sigma, error_sigma,
             seed, mesh=mesh, secret_size=secret_size,
@@ -237,8 +239,46 @@ class DiamondIO:
             self._prf = PrfMaskPipeline(
                 self.params, self.prf_config, getattr(self, "_hash_key", b"\0" * 32),
                 self._trap, self.input_count, self.batch_bits,
+                secret_size=self.secret_size,
             )
         return self._prf
+
+    # ----------------------------------------------------- vec-slot helpers
+
+    def _wrap_vec(self, wires):
+        """Duplicate scalar wires across num_slots ring slots (the reference's
+        duplicate_public_key -> NaiveBGGPublicKeyVec inputs,
+        diamond_io.rs:295-310). Slots only diverge through slot gates, which
+        the wrapped circuit does not use, so duplication is exact."""
+        from ..bgg.vec import BGGEncodingVec, BGGPublicKeyVec
+
+        ns = self.num_slots
+        out = []
+        for w in wires:
+            if isinstance(w, BggEncoding):
+                out.append(BGGEncodingVec.new([w] * ns))
+            else:
+                out.append(BGGPublicKeyVec.new([w] * ns))
+        return out
+
+    def _unwrap_vec(self, results):
+        """Collapse vec outputs back to scalar wires, asserting slot
+        agreement (no slot gates in the wrapped circuit)."""
+        from ..bgg.vec import BGGEncodingVec, BGGPublicKeyVec
+
+        out = []
+        for r in results:
+            if isinstance(r, BGGPublicKeyVec):
+                assert all(k.matrix == r.keys[0].matrix for k in r.keys[1:])
+                out.append(r.keys[0])
+            elif isinstance(r, BGGEncodingVec):
+                assert all(
+                    e.vector == r.encodings[0].vector for e in r.encodings[1:]
+                )
+                out.append(r.encodings[0])
+            else:
+                out.append(r)
+        return out
 
     # -------------------------------------------------------------- offline
 
@@ -369,10 +409,20 @@ class DiamondIO:
         circuit_inputs = list(input_pubkeys) + [k_pubkey]
         if not cfg.debug_encrypt_random_prg_wires:
             circuit_inputs += final_seed_pks
-        with span("diamond_io.pk_circuit_eval", gates=circuit.num_gates()):
-            result_pubkeys = circuit.eval(
-                params, one_pubkey, circuit_inputs, plt_evaluator=pk_eval
-            )
+        with span("diamond_io.pk_circuit_eval", gates=circuit.num_gates(),
+                  slots=self.num_slots):
+            if self.num_slots > 1:
+                from ..lookup.vec_eval import SlotwisePltEvaluator
+
+                result_pubkeys = self._unwrap_vec(circuit.eval(
+                    params, self._wrap_vec([one_pubkey])[0],
+                    self._wrap_vec(circuit_inputs),
+                    plt_evaluator=SlotwisePltEvaluator(pk_eval),
+                ))
+            else:
+                result_pubkeys = circuit.eval(
+                    params, one_pubkey, circuit_inputs, plt_evaluator=pk_eval
+                )
         if hasattr(pk_eval, "sample_aux_matrices"):
             pk_eval.sample_aux_matrices(params)
         wait_for_all_writes()
@@ -485,10 +535,20 @@ class DiamondIO:
         circuit_inputs = input_encodings + [k_encoding]
         if not cfg.debug_encrypt_random_prg_wires:
             circuit_inputs += final_seed_encs
-        with span("diamond_io.enc_circuit_eval", gates=circuit.num_gates()):
-            result = circuit.eval(
-                params, one_encoding, circuit_inputs, plt_evaluator=enc_eval
-            )
+        with span("diamond_io.enc_circuit_eval", gates=circuit.num_gates(),
+                  slots=self.num_slots):
+            if self.num_slots > 1:
+                from ..lookup.vec_eval import SlotwisePltEvaluator
+
+                result = self._unwrap_vec(circuit.eval(
+                    params, self._wrap_vec([one_encoding])[0],
+                    self._wrap_vec(circuit_inputs),
+                    plt_evaluator=SlotwisePltEvaluator(enc_eval),
+                ))
+            else:
+                result = circuit.eval(
+                    params, one_encoding, circuit_inputs, plt_evaluator=enc_eval
+                )
 
         # masked decode: proj - c_sd G^{-1}(e0) + pb_plaintext + pb_mask
         sel = PolyMatrix.identity(params, self.secret_size).slice_columns(0, 1)

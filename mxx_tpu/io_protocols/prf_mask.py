@@ -81,7 +81,8 @@ class PrfDebugArtifacts:
 
 class PrfMaskPipeline:
     def __init__(self, params, config: PrfConfig, hash_key: bytes,
-                 trap_sampler, input_count: int, batch_bits: int):
+                 trap_sampler, input_count: int, batch_bits: int,
+                 secret_size: int = 1):
         self.params = params
         self.cfg = config
         self.hash_key = hash_key
@@ -89,12 +90,14 @@ class PrfMaskPipeline:
         self.input_count = input_count
         self.batch_bits = batch_bits
         self.branch_count = 1 << batch_bits
+        self.d = secret_size
         # the context circuit only hosts the shared LUT registry
         self.ctx = RingGswContext(
             PolyCircuit(), params, config.p_moduli_bits, config.max_unreduced_muls
         )
         self.refresher = NoiseRefresherNaiveVec(
-            params, self.ctx, config.noise_refresh_v_bits, hash_key
+            params, self.ctx, config.noise_refresh_v_bits, hash_key,
+            secret_size=secret_size,
         )
         self._hash = HashSampler()
         # wires per ciphertext at the circuit boundary
@@ -120,7 +123,7 @@ class PrfMaskPipeline:
             + wire_idx.to_bytes(8, "little")
         )
         return self._hash.sample_hash(
-            self.params, self.hash_key, tag, 1, target_cols, FinRingDist()
+            self.params, self.hash_key, tag, self.d, target_cols, FinRingDist()
         )
 
     def _common_rebase_pk(self, round_idx: int, wire_idx: int,
@@ -131,7 +134,7 @@ class PrfMaskPipeline:
             + wire_idx.to_bytes(8, "little")
         )
         return self._hash.sample_hash(
-            self.params, self.hash_key, tag, 1, target_cols, FinRingDist()
+            self.params, self.hash_key, tag, self.d, target_cols, FinRingDist()
         )
 
     def refresh_id(self, round_idx: int, wire_idx: int) -> bytes:
@@ -269,7 +272,7 @@ class PrfMaskPipeline:
                         masked = prg_wire + branch_sub.matrix_mul(params, mask)
                         common = self._common_rebase_pk(round_idx, wire_idx, cols)
                         target = (common - masked.matrix).concat_rows(
-                            [PolyMatrix.zero(params, 1, cols)]
+                            [PolyMatrix.zero(params, self.d, cols)]
                         )
                         pre = self.trap.preimage(params, td0, b0, target)
                         write_matrix(
@@ -288,7 +291,7 @@ class PrfMaskPipeline:
                         )
                         for crt_idx, t in enumerate(refresh_keys):
                             dec_target = t.concat_rows(
-                                [PolyMatrix.zero(params, 1, t.ncol)]
+                                [PolyMatrix.zero(params, self.d, t.ncol)]
                             )
                             write_matrix(
                                 self.refresh_preimage_id(

@@ -52,3 +52,27 @@ class LWEBGGVecEncodingPltEvaluator:
             for s, e in enumerate(input_vec.encodings)
         ]
         return BGGEncodingVec.new(encs)
+
+
+class SlotwisePltEvaluator:
+    """Generic slotwise lift of any scalar PltEvaluator onto BGG vec wires
+    (reference naive_vec evaluators' pattern, lwe/naive_vec.rs:14-143)."""
+
+    def __init__(self, scalar):
+        self.scalar = scalar
+
+    def public_lookup(self, params, plt, one, input_vec, gate_id, lut_id):
+        if isinstance(input_vec, BGGPublicKeyVec):
+            return BGGPublicKeyVec.new([
+                self.scalar.public_lookup(params, plt, None, pk, gate_id, lut_id)
+                for pk in input_vec.keys
+            ])
+        assert isinstance(input_vec, BGGEncodingVec), type(input_vec)
+        return BGGEncodingVec.new([
+            self.scalar.public_lookup(params, plt, None, e, gate_id, lut_id)
+            for e in input_vec.encodings
+        ])
+
+    def sample_aux_matrices(self, params):
+        if hasattr(self.scalar, "sample_aux_matrices"):
+            self.scalar.sample_aux_matrices(params)

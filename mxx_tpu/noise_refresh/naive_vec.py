@@ -127,10 +127,12 @@ class RefreshMaterialCts:
 class NoiseRefresherNaiveVec:
     """Subtract-round-recompose refresher over scalar BGG wires."""
 
-    def __init__(self, params, ring_gsw_ctx, v_bits: int, hash_key: bytes):
+    def __init__(self, params, ring_gsw_ctx, v_bits: int, hash_key: bytes,
+                 secret_size: int = 1):
         self.params = params
         self.ring_gsw = ring_gsw_ctx
         self.v_bits = v_bits
+        self.d = secret_size
         self.hash_key = hash_key
         self._hash = HashSampler()
         self._decrypt_circuits: dict[tuple[int, int], PolyCircuit] = {}
@@ -151,10 +153,10 @@ class NoiseRefresherNaiveVec:
     # ------------------------------------------------------------- helpers
 
     def _a_prime(self, refresh_id: bytes) -> PolyMatrix:
-        m_g = self.params.modulus_digits
+        m_g = self.d * self.params.modulus_digits
         return self._hash.sample_hash(
             self.params, self.hash_key,
-            b"nr_a_prime:" + refresh_id, 1, m_g, FinRingDist(),
+            b"nr_a_prime:" + refresh_id, self.d, m_g, FinRingDist(),
         )
 
     def material_wire_values(self, material: RefreshMaterialCts) -> list[list[int]]:
@@ -207,14 +209,20 @@ class NoiseRefresherNaiveVec:
         the decoded wire's value column (unit-column matrix_mul) and embed it
         at column j (reference embed_projected_digit_matrix)."""
         params = self.params
-        m_g = params.modulus_digits
-        unit = PolyMatrix.identity(params, 1)  # d=1: G^{-1}(I_1) value select
+        m_g = self.d * params.modulus_digits
+        # value-channel selector: G^{-1}(e_1 column) extracts the payload that
+        # rides the first coordinate (k*e_1 semantics at d > 1)
+        unit = PolyMatrix.identity(params, self.d).slice_columns(0, 1)
         cols = [None] * m_g
+        zero = None
         for digit_idx, per_crt in enumerate(decoded_digit_crt):
             wire = per_crt[crt_idx]
-            sel = extract(wire.matrix_mul(params, unit))  # 1 x 1
+            sel = extract(wire.matrix_mul(params, unit))  # (d or 1) x 1
             cols[digit_idx] = sel
-        zero = PolyMatrix.zero(params, 1, 1)
+            if zero is None:
+                zero = PolyMatrix.zero(params, sel.nrow, 1)
+        if zero is None:
+            zero = PolyMatrix.zero(params, 1, 1)
         cols = [c if c is not None else zero for c in cols]
         return cols[0].concat_columns(cols[1:])
 
@@ -229,7 +237,7 @@ class NoiseRefresherNaiveVec:
         with span("noise_refresh.preprocess", refresh_id=refresh_id.hex()[:12]):
             params = self.params
             a_prime = self._a_prime(refresh_id)
-            gadget = PolyMatrix.gadget_matrix(params, 1)
+            gadget = PolyMatrix.gadget_matrix(params, self.d)
             vals = self.material_wire_values(material)
             decoded = self._decoded_wires(one_pk, k_pk, material, vals, plt_evaluator)
             refresh_keys = []
@@ -257,7 +265,7 @@ class NoiseRefresherNaiveVec:
         with span("noise_refresh.online_eval", refresh_id=refresh_id.hex()[:12]):
             params = self.params
             a_prime = self._a_prime(refresh_id)
-            gadget = PolyMatrix.gadget_matrix(params, 1)
+            gadget = PolyMatrix.gadget_matrix(params, self.d)
             vals = self.material_wire_values(material)
             decoded = self._decoded_wires(one_enc, k_enc, material, vals, plt_evaluator)
             acc = None

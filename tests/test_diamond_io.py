@@ -90,3 +90,27 @@ def test_diamond_io_prf_pipeline_e2e(tmp_path):
     one_vec = states[0] @ dio._read(tmp_path, "one_preimage")
     want = sigma @ (one_pk.matrix - gadget)
     assert one_vec == want, "one encoding must satisfy sigma (A_one - G)"
+
+
+def test_diamond_io_d2_vec_slots_e2e(tmp_path):
+    """VERDICT r1 item 2: secret_size d=2 with the wrapped circuit evaluated
+    over 4-slot BGG vec wires (pubkeys duplicated across slots, the
+    reference's NaiveBGGPublicKeyVec pattern). The full pipeline — injector
+    with d x d ternary masks, k*e_1 payload, PRF mask rounds, refresh, masked
+    decode — must decode correctly."""
+    params = RingParams.new(4, 3, 10, 10)
+    dio = DiamondIO(
+        params, input_count=2, batch_bits=1, seed=77,
+        prf_config=_ci_prf_config(),
+        pk_plt_evaluator_factory=lambda s, d, hk, pre: DebugBGGPubKeyPltEvaluator(hk),
+        enc_plt_evaluator_factory=lambda s, d, obf, states, digits:
+            DebugBGGEncodingPltEvaluator(
+                obf.hash_key, s.injector.debug_final_secret_matrix(d, digits)
+            ),
+        secret_size=2,
+        num_slots=4,
+    )
+    obf = dio.obfuscate(tmp_path, xor_and_builder)
+    for bits in ([0, 1], [1, 0]):
+        out = dio.eval(tmp_path, obf, xor_and_builder, bits)
+        assert out == [bits[0] ^ bits[1], bits[0] & bits[1]], (bits, out)
