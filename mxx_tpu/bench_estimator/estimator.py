@@ -83,6 +83,28 @@ def measure_poly_costs(params, iterations: int = 5) -> GateCostModel:
     return GateCostModel(costs, default_cost=costs[MUL])
 
 
+def measure_lwe_lut_online_cost(params, d: int = 1, iterations: int = 3) -> float:
+    """Wall-clock one LWE online lookup's algebra (K_low hash derivation +
+    c_b @ K_high + c_z @ K_low) — the PubLut gate cost in the encoding model
+    (reference bench_estimator measures the real lookup op instead of
+    defaulting it to a Mul)."""
+    from ..lookup.lwe import derive_k_low
+    from ..sampler import FinRingDist, UniformSampler
+
+    us = UniformSampler(seed=5)
+    k = params.modulus_digits
+    m_g, m_b = d * k, d * (k + 2)
+    c_b = us.sample_uniform(params, 1, m_b, FinRingDist())
+    c_z = us.sample_uniform(params, 1, m_g, FinRingDist())
+    k_high = us.sample_uniform(params, m_b, m_g, FinRingDist())
+
+    def op():
+        k_low = derive_k_low(params, d, bytes(32), 0, 0, 0)
+        (c_b @ k_high + c_z @ k_low).data.block_until_ready()
+
+    return benchmark_gate_operation(iterations, op)
+
+
 def measure_bgg_encoding_costs(params, d: int = 1, iterations: int = 3,
                                lut_cost: float | None = None) -> GateCostModel:
     """Measure representative BGG-encoding wire op costs (the protocol-eval
@@ -110,8 +132,10 @@ def measure_bgg_encoding_costs(params, d: int = 1, iterations: int = 3,
     costs[SUB] = costs[ADD]
     costs[SMALL_SCALAR_MUL] = costs[ADD]
     costs[LARGE_SCALAR_MUL] = costs[MUL]
-    if lut_cost is not None:
-        costs[PUB_LUT] = lut_cost
+    costs[PUB_LUT] = (
+        lut_cost if lut_cost is not None
+        else measure_lwe_lut_online_cost(params, d, iterations)
+    )
     return GateCostModel(costs, default_cost=costs[MUL])
 
 
@@ -143,8 +167,10 @@ def measure_bgg_poly_encoding_costs(params, num_slots: int = 2, iterations: int 
     costs[SUB] = costs[ADD]
     costs[SMALL_SCALAR_MUL] = costs[ADD]
     costs[LARGE_SCALAR_MUL] = costs[MUL]
-    if lut_cost is not None:
-        costs[PUB_LUT] = lut_cost
+    costs[PUB_LUT] = (
+        lut_cost if lut_cost is not None
+        else num_slots * measure_lwe_lut_online_cost(params, 1, iterations)
+    )
     return GateCostModel(costs, default_cost=costs[MUL])
 
 

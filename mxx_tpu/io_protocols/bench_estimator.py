@@ -50,6 +50,23 @@ def measure_preimage_cost(params, d: int = 2, cols: int | None = None,
     return times[len(times) // 2]
 
 
+def _dummy_debug(prf, dio, num_outputs: int):
+    """Shape-only debug artifacts so the replay-mode circuit can be BUILT for
+    estimation without running the obfuscation (valid ciphertext values are
+    irrelevant to the gate structure)."""
+    from ..utils.rng import Drbg
+    from .prf_mask import PrfDebugArtifacts
+
+    rng = Drbg(0)
+    debug = PrfDebugArtifacts()
+    bits_per_output = dio._mask_bits_per_output()
+    for _ in range(num_outputs):
+        debug.final_mask_cts.append(
+            prf._sample_debug_prg_cts(1, bits_per_output, rng, 0.0)
+        )
+    return debug
+
+
 def estimate_diamond_io(
     dio,
     builder,
@@ -76,15 +93,34 @@ def estimate_diamond_io(
     )
 
     num_outputs = dio._probe_num_outputs(builder)
+    prf = dio._prf_pipeline()
+    cfg = dio.prf_config
     circuit = dio._build_wrapped_circuit(
-        builder, (1, 1), [(0, 0)] * num_outputs
+        prf, builder, (1, 1), num_outputs,
+        None if not cfg.debug_encrypt_random_prg_wires else _dummy_debug(
+            prf, dio, num_outputs
+        ),
     )
     plan = GroupedExecutionPlan.from_circuit(circuit)
     circuit_est = estimate_circuit(circuit, gate_costs, parallelism)
 
+    # PRF mask pipeline preimages (diamond_io.rs:425-470): per round x branch
+    # x refreshed wire, one rebase preimage + crt_depth refresh-decoder
+    # preimages
+    prf_wires = (
+        cfg.refresh_wire_limit
+        if cfg.refresh_wire_limit is not None
+        else cfg.seed_bits * prf.wires_per_ct
+    )
+    prf_preimages = (
+        dio.input_count * dio.base * prf_wires * (1 + params.crt_depth)
+    )
+
     projection_preimages = 1 + 1 + dio.num_input_bits  # one + k + input bits
     decoder_preimages = num_outputs
-    offline_preimages = injector_preimages + projection_preimages + decoder_preimages
+    offline_preimages = (
+        injector_preimages + projection_preimages + decoder_preimages + prf_preimages
+    )
 
     obfuscate_latency = (
         trapdoor_count * preimage_cost
@@ -98,12 +134,18 @@ def estimate_diamond_io(
     matmul_cost = gate_costs.cost("Mul")
     eval_latency = state_matmuls * matmul_cost + circuit_est.latency_secs
 
-    # artifact bytes: transition matrices + projections (+ decoder preimages)
+    # artifact bytes at the COMPACT codec rate (the reference's artifact-byte
+    # model counts packed bytes, bench_estimator_shape.rs): ceil(crt_bits)
+    # bits per coefficient per limb, not raw u32 planes
     k_digits = params.modulus_digits
-    state_cols = 2 * (k_digits + 2)
-    entry_bytes = params.crt_depth * params.n * 4
+    state_cols = 2 * dio.secret_size * (k_digits + 2)
+    entry_bytes = -(-params.crt_depth * params.crt_bits * params.n // 8)
     matrix_bytes = state_cols * state_cols * entry_bytes
-    artifact_bytes = (injector_preimages + projection_preimages + decoder_preimages) * matrix_bytes
+    proj_bytes = state_cols * (dio.secret_size * k_digits) * entry_bytes
+    artifact_bytes = (
+        injector_preimages * matrix_bytes
+        + (projection_preimages + decoder_preimages + prf_preimages) * proj_bytes
+    )
 
     return DiamondIOBenchEstimate(
         obfuscate_latency_secs=obfuscate_latency,

@@ -482,10 +482,20 @@ class TrapdoorSampler:
         """`preimage_batched_sharded` in request chunks so the fused program's
         intermediates stay within device memory at large ring dimension (the
         reference's LUT_PREIMAGE_CHUNK_SIZE batching, lwe/pubkey.rs:217-608).
-        Chunk unit = number of requests; default from config."""
+        Chunk unit = number of requests; default from config.
+
+        When all requests share a column width, the tail chunk is PADDED with
+        repeats of the last target so every dispatch hits the same compiled
+        program — a cold preimage compile costs ~60s on the tunneled TPU vs
+        ~0.5s steady-state, so one shape family per pass matters more than the
+        wasted pad columns."""
         from .. import config
 
         chunk = chunk or config.lut_preimage_chunk_size()
+        uniform = len({t.ncol for t in targets}) == 1
+        n_real = len(targets)
+        if uniform and n_real > chunk and n_real % chunk:
+            targets = list(targets) + [targets[-1]] * (chunk - n_real % chunk)
         outs: list[PolyMatrix] = []
         for i in range(0, len(targets), chunk):
             outs.extend(
@@ -493,7 +503,7 @@ class TrapdoorSampler:
                     params, trapdoor, public_matrix, targets[i : i + chunk], mesh=mesh
                 )
             )
-        return outs
+        return outs[:n_real]
 
     def preimage_extend(
         self,

@@ -88,3 +88,26 @@ def test_per_wire_type_cost_models():
     scalar = measure_poly_costs(params, iterations=2)
     assert vec.cost("Add") > 0 and vec.default_cost > 0
     assert scalar.cost("Add") > 0
+
+
+def test_estimate_diamond_io_real_prf_shape():
+    """The protocol estimator builds the REAL-mode wrapped circuit (Goldreich
+    PRG over Ring-GSW seed wires, no debug replay) and prices every phase,
+    including the PRF rebase/refresh preimage storm (reference
+    bench_estimator_shape.rs). Requires max_unreduced_muls >= 2 (the
+    reference default) — the PRG predicate overflows the p-CRT budget at 1."""
+    from mxx_tpu.io_protocols import DiamondIO
+    from mxx_tpu.io_protocols.prf_mask import PrfConfig
+    from mxx_tpu.io_protocols.bench_estimator import estimate_diamond_io
+
+    params = RingParams.new(4, 3, 10, 10)
+    dio = DiamondIO(params, 2, 1, seed=1, prf_config=PrfConfig(
+        seed_bits=5, p_moduli_bits=5, max_unreduced_muls=2))
+    est = estimate_diamond_io(dio, lambda c, bits: [c.and_gate(bits[0], bits[1])])
+    assert est.obfuscate_latency_secs > 0
+    assert est.eval_latency_secs > 0
+    assert est.artifact_bytes > 0
+    # compact packing: artifact bytes must be far below raw u32-plane volume
+    raw_entry = params.crt_depth * params.n * 4
+    compact_entry = -(-params.crt_depth * params.crt_bits * params.n // 8)
+    assert compact_entry < raw_entry
