@@ -59,7 +59,7 @@ class PrfConfig:
     seed_bits: int = 5
     prf_mask_output_coeff_bits: int = 1
     p_moduli_bits: int = 5
-    max_unreduced_muls: int = 1
+    max_unreduced_muls: int = 2  # reference DEFAULT_MAX_UNREDUCED_MULS
     goldreich_graph_seed: bytes = b"\x11" * 32
     noise_refresh_v_bits: int = 1
     noise_refresh_cbd_n: int = 1

@@ -72,9 +72,46 @@ def run_lattice_estimator_cli(
         return None
 
 
+def core_svp_security_bits(n: int, log2_q: float, sigma: float = 3.19,
+                           classical_exponent: float = 0.292) -> float:
+    """Core-SVP primal-uSVP estimate (the public Alkim-Ducas-Poppelmann-
+    Schwabe methodology, also the lattice-estimator's primal baseline):
+
+    find the smallest BKZ block size beta for which, over the optimal number
+    of LWE samples m (embedding dimension d = m + n + 1), the projected
+    target length sigma * sqrt(beta) falls below the GSA estimate
+    delta(beta)^{2 beta - d - 1} * q^{m/d}; security = 0.292 * beta classical
+    core-SVP bits (0.265 for quantum).
+
+    This is an honest closed-form approximation, typically within a few bits
+    of the lattice-estimator CLI's primal figure; dual/hybrid attacks and
+    small-secret refinements can shave more — run the CLI for certification.
+    """
+    import math
+
+    q = 2.0 ** log2_q
+
+    def delta(beta: int) -> float:
+        return ((math.pi * beta) ** (1.0 / beta) * beta / (2 * math.pi * math.e)) ** (
+            1.0 / (2.0 * (beta - 1))
+        )
+
+    for beta in range(50, 2048, 1):
+        lhs = math.log2(sigma) + 0.5 * math.log2(beta)
+        d_b = math.log2(delta(beta))
+        ok = False
+        for m in range(max(beta - n, n // 8), 3 * n + 1, max(n // 16, 1)):
+            d = m + n + 1
+            rhs = (2 * beta - d - 1) * d_b + (m / d) * log2_q
+            if lhs <= rhs:
+                ok = True
+                break
+        if ok:
+            return classical_exponent * beta
+    return classical_exponent * 2048  # parameters beyond the scan range
+
+
 def heuristic_security_bits(ring_dimension: int, log_q: int) -> float:
-    """Coarse fallback: the usual n*log(delta) LWE hardness rule of thumb
-    (sigma ~ 3.2 ternary secret): secpar ~ 0.265 * n / log_q * ... — here we
-    use the common `n / log_q * 2.6`-style linear estimate. For real parameter
-    selection run the CLI."""
-    return 2.6 * ring_dimension / max(log_q, 1)
+    """Fallback when the lattice-estimator CLI is absent: the core-SVP
+    primal estimate (see `core_svp_security_bits`)."""
+    return core_svp_security_bits(ring_dimension, float(log_q))

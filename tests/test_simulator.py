@@ -100,3 +100,17 @@ def test_ggh15_and_commit_norm_evaluators():
         outs = simulate_max_error_norm(circuit, ctx, Decimal(p_mod - 1), 1, e_init, ev)
         assert outs[0].matrix_norm.poly_norm.norm > 0
         assert outs[0].plaintext_norm.norm == Decimal(p_mod - 1)
+
+
+def test_core_svp_security_estimate():
+    """Core-SVP primal estimate: sane anchors + monotonicity (replaces the
+    round-1 linear rule of thumb)."""
+    from mxx_tpu.simulator.lattice_estimator import core_svp_security_bits
+
+    # NewHope1024 (n=1024, q=12289, sigma=sqrt(8)): published primal
+    # core-SVP is ~255-282 classical bits
+    nh = core_svp_security_bits(1024, 13.6, 2.83)
+    assert 240 <= nh <= 300, nh
+    # security decreases with modulus size, increases with dimension
+    assert core_svp_security_bits(1024, 29) < core_svp_security_bits(1024, 26)
+    assert core_svp_security_bits(2048, 26) > core_svp_security_bits(1024, 26)
