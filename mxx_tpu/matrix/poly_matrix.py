@@ -238,20 +238,16 @@ class PolyMatrix:
     def to_eval(self) -> "PolyMatrix":
         if self.fmt == EVAL:
             return self
-        jt = self.params.jt
-        return PolyMatrix(
-            ntt_fwd(self.data, jt.psi_rev_mont, jt.moduli, jt.qinv_neg), EVAL, self.params
-        )
+        from ..ring.ntt import ntt_fwd_auto
+
+        return PolyMatrix(ntt_fwd_auto(self.data, self.params), EVAL, self.params)
 
     def to_coeff(self) -> "PolyMatrix":
         if self.fmt == COEFF:
             return self
-        jt = self.params.jt
-        return PolyMatrix(
-            ntt_inv(self.data, jt.psi_inv_rev_mont, jt.n_inv_mont, jt.moduli, jt.qinv_neg),
-            COEFF,
-            self.params,
-        )
+        from ..ring.ntt import ntt_inv_auto
+
+        return PolyMatrix(ntt_inv_auto(self.data, self.params), COEFF, self.params)
 
     # ----------------------------------------------------------- arithmetic
 

@@ -188,6 +188,53 @@ def ntt_inv(x, psi_inv_rev_mont, n_inv_mont, q, qinv_neg):
     return _chunked(_inv_stages, x, psi_inv_rev_mont, n_inv_mont, q, qinv_neg)
 
 
+def _fused_plan(params, x) -> tuple[int, int] | None:
+    """(n1, p_polys) for the fused Pallas four-step kernel, or None when the
+    chain should run: requires MXX_NTT_FUSED=1 (a cold fused compile costs
+    ~60s per shape on the tunneled TPU, so opt-in), a TPU backend, and shapes
+    satisfying the kernel's exactness bounds (n2 <= 128, p*n1 <= 128)."""
+    import os
+
+    if os.environ.get("MXX_NTT_FUSED") != "1":
+        return None
+    if jax.default_backend() == "cpu":
+        return None
+    n = x.shape[-1]
+    if n < 2048 or n > 16384 or n & (n - 1):
+        return None
+    n1 = n // 128  # n2 = 128
+    batch = 1
+    for dim in x.shape[1:-1]:
+        batch *= dim
+    p = 128 // n1
+    while p > 1 and batch % p:
+        p //= 2
+    return (n1, p)
+
+
+def ntt_fwd_auto(x, params):
+    """Production forward NTT: fused Pallas four-step when enabled and the
+    shape qualifies, else the XLA radix chain. Both paths are bit-exact."""
+    plan = _fused_plan(params, x)
+    if plan is not None:
+        from ..ops.pallas_four_step import four_step_ntt_fwd_fused
+
+        return four_step_ntt_fwd_fused(x, params=params, n1=plan[0], p_polys=plan[1])
+    jt = params.jt
+    return ntt_fwd(x, jt.psi_rev_mont, jt.moduli, jt.qinv_neg)
+
+
+def ntt_inv_auto(x, params):
+    """Production inverse NTT (see ntt_fwd_auto)."""
+    plan = _fused_plan(params, x)
+    if plan is not None:
+        from ..ops.pallas_four_step import four_step_ntt_inv_fused
+
+        return four_step_ntt_inv_fused(x, params=params, n1=plan[0], p_polys=plan[1])
+    jt = params.jt
+    return ntt_inv(x, jt.psi_inv_rev_mont, jt.n_inv_mont, jt.moduli, jt.qinv_neg)
+
+
 @jax.jit
 def pointwise_mul(a, b, q, qinv_neg, r2):
     """Exact a*b mod q for standard-form operands (elementwise)."""

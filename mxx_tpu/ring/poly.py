@@ -21,7 +21,7 @@ import numpy as np
 
 from ..ops.elementwise import ew_add, ew_mul, ew_mul_mont_const, ew_neg, ew_sub, reduce_once
 from .element import FinRingElem
-from .ntt import ntt_fwd, ntt_inv
+from .ntt import ntt_fwd, ntt_fwd_auto, ntt_inv, ntt_inv_auto
 from .params import RingParams
 
 COEFF = "coeff"
@@ -126,18 +126,12 @@ class Poly:
     def to_eval(self) -> "Poly":
         if self.fmt == EVAL:
             return self
-        jt = self.params.jt
-        return Poly(ntt_fwd(self.data, jt.psi_rev_mont, jt.moduli, jt.qinv_neg), EVAL, self.params)
+        return Poly(ntt_fwd_auto(self.data, self.params), EVAL, self.params)
 
     def to_coeff(self) -> "Poly":
         if self.fmt == COEFF:
             return self
-        jt = self.params.jt
-        return Poly(
-            ntt_inv(self.data, jt.psi_inv_rev_mont, jt.n_inv_mont, jt.moduli, jt.qinv_neg),
-            COEFF,
-            self.params,
-        )
+        return Poly(ntt_inv_auto(self.data, self.params), COEFF, self.params)
 
     # ------------------------------------------------------------ accessors
 
