@@ -46,3 +46,39 @@ def negacyclic_conv_mul(circuit: PolyCircuit, a_wire: int, b_wire: int, num_slot
             nxt.append(terms[-1])
         terms = nxt
     return terms[0]
+
+
+def negacyclic_conv_mul_plaintext(circuit: PolyCircuit, a_wire: int,
+                                  b_coeffs: list[int], num_slots: int,
+                                  p: int, lut_mod_p: int | None = None) -> int:
+    """Negacyclic convolution with a PUBLIC polynomial b mod p: one
+    slot-transfer gate per nonzero b_d (per-destination source slot + the
+    sign-folded scalar b_d / p - b_d), an add tree, and one optional mod-p
+    LUT reduction — no wire-by-wire Mul gates at all (the public-operand
+    sibling of `negacyclic_conv_mul`; the reference reaches the same
+    savings via `negacyclic_conv_mul_right_sparse`)."""
+    terms = []
+    for d, bd in enumerate(b_coeffs):
+        bd %= p
+        if bd == 0:
+            continue
+        spec = []
+        for i in range(num_slots):
+            src = (i - d) % num_slots
+            scalar = bd if i >= d else (p - bd) % p
+            spec.append((src, scalar))
+        terms.append(circuit.slot_transfer_gate(a_wire, spec))
+    if not terms:
+        z = circuit.sub_gate(a_wire, a_wire)
+        return z
+    while len(terms) > 1:
+        nxt = []
+        for i in range(0, len(terms) - 1, 2):
+            nxt.append(circuit.add_gate(terms[i], terms[i + 1]))
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    out = terms[0]
+    if lut_mod_p is not None:
+        out = circuit.public_lookup_gate(out, lut_mod_p)
+    return out

@@ -421,7 +421,8 @@ class DiamondIO:
                 ))
             else:
                 result_pubkeys = circuit.eval(
-                    params, one_pubkey, circuit_inputs, plt_evaluator=pk_eval
+                    params, one_pubkey, circuit_inputs, plt_evaluator=pk_eval,
+                    batched=True,
                 )
         if hasattr(pk_eval, "sample_aux_matrices"):
             pk_eval.sample_aux_matrices(params)
@@ -547,7 +548,8 @@ class DiamondIO:
                 ))
             else:
                 result = circuit.eval(
-                    params, one_encoding, circuit_inputs, plt_evaluator=enc_eval
+                    params, one_encoding, circuit_inputs, plt_evaluator=enc_eval,
+                    batched=True,
                 )
 
         # masked decode: proj - c_sd G^{-1}(e0) + pb_plaintext + pb_mask
@@ -569,3 +571,62 @@ class DiamondIO:
             ) % q
             out_bits.append(int(decode_centered_masked_integer_coeff(coeff, q, 2)))
         return out_bits
+
+
+def diamond_io_find_crt_depth(
+    ring_dimension: int,
+    crt_bits: int,
+    base_bits: int,
+    max_depth: int,
+    input_count: int,
+    batch_bits: int,
+    make_circuit,
+    error_sigma: float = 4.0,
+    trapdoor_sigma: float = 4.578,
+    secret_size: int = DIAMOND_SECRET_SIZE,
+    plt_norm_factory=None,
+):
+    """Smallest crt_depth with a positive simulated decode margin: the
+    injector chain error bound (simulate_output_error_bounds) composed with
+    the output-projection preimage feeds the wrapped-circuit norm simulation,
+    and the result must clear q/4 (reference diamond_io_find_crt_depth,
+    io/diamond_io/simulation.rs). Returns (depth, params) or None."""
+    from decimal import Decimal
+
+    from ..input_injector import DiamondInjector
+    from ..input_injector.simulation import simulate_output_error_bounds
+    from ..ring.params import RingParams
+    from ..simulator import (
+        NormPltLWEEvaluator,
+        SimulatorContext,
+        bits_ceil,
+        simulate_max_error_norm,
+    )
+
+    for depth in range(1, max_depth + 1):
+        params = RingParams.new(ring_dimension, depth, crt_bits, base_bits)
+        injector = DiamondInjector(
+            params, input_count, 1 << batch_bits, batch_bits,
+            trapdoor_sigma, error_sigma, secret_size=secret_size,
+        )
+        sim = simulate_output_error_bounds(injector)
+        worst_state = max(e.poly_norm.norm for e in sim.state_errors)
+        # encoding error after the stored output projection
+        e_enc = worst_state * sim.output_preimage.poly_norm.norm * Decimal(
+            sim.output_preimage.nrow
+        ).sqrt()
+        ctx = SimulatorContext.for_params(params, secret_size)
+        circuit = make_circuit(params)
+        plt_norm = (
+            plt_norm_factory(ctx)
+            if plt_norm_factory is not None
+            else NormPltLWEEvaluator(ctx, Decimal(error_sigma))
+        )
+        outs = simulate_max_error_norm(
+            circuit, ctx, Decimal(1), circuit.num_input, e_enc,
+            plt_evaluator=plt_norm,
+        )
+        err_bits = max(bits_ceil(o.matrix_norm.poly_norm.norm) for o in outs)
+        if err_bits < (params.modulus // 4).bit_length():
+            return depth, params
+    return None

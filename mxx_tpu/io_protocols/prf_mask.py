@@ -332,7 +332,8 @@ class PrfMaskPipeline:
             flat.extend(ct.flatten())
         circuit.output(flat)
         results = circuit.eval(
-            self.params, one_wire, seed_wires, plt_evaluator=plt_evaluator
+            self.params, one_wire, seed_wires, plt_evaluator=plt_evaluator,
+            batched=True,
         )
         per_ct = self.wires_per_ct
         branches = []

@@ -107,21 +107,77 @@ class LWEBGGPubKeyPltEvaluator:
             self.gate_state.clear()
 
     def _sample_k_high_buffer(self, params, plt, a_z, a_lt, gate_id, lut_id, slot_idx):
-        row_size = self.pub_matrix.nrow
-        gadget = PolyMatrix.gadget_matrix(params, row_size)
-        ks, targets = [], []
-        for x_k, (k, y_k) in plt.entries(params):
-            x_poly = Poly.const(params, x_k)
-            y_poly = Poly.from_elem_to_constant(params, y_k)
-            ext_matrix = a_z - gadget.mul_poly_scalar(x_poly)
-            target = a_lt - gadget.mul_poly_scalar(y_poly)
-            k_low = derive_k_low(
-                params, row_size, self.hash_key, gate_id, lut_id, k, slot_idx
+        """Per-entry targets `A_LT - G*y - (A_z - G*x) @ K_low` assembled as a
+        handful of BATCHED device programs (one hash program for every K_low,
+        one batched decompose, one vmapped matmul, elementwise the rest) —
+        per-entry dispatch dominated the realistic-scale run through the
+        high-latency tunnel (BENCHMARKS.md round 2)."""
+        import jax.numpy as jnp
+
+        from ..circuit.batched_eval import _batched_decompose, _vmapped_matmul
+        from ..ops.elementwise import ew_mul, ew_sub
+        from ..ring.poly import EVAL, residue_planes_from_ints
+
+        d = self.pub_matrix.nrow
+        k_dig = params.modulus_digits
+        m_g = d * k_dig
+        n = params.n
+        L = params.crt_depth
+        jt = params.jt
+        entries = list(plt.entries(params))
+        ks = [int(kk) for _, (kk, _) in entries]
+
+        g_eval = PolyMatrix.gadget_matrix(params, d).to_eval().data  # [L, d, m_g, n]
+        az_eval = a_z.to_eval().data
+        alt_eval = a_lt.to_eval().data
+
+        # assembly chunk: keep the batched-decompose intermediate
+        # [L, E*m_g, m_g, n] under ~64M elements (device-memory bound at
+        # n=2^13; a 49-entry batch allocated 26 GB)
+        chunk_e = max(1, (64 << 20) // (L * m_g * m_g * n))
+
+        def assemble(chunk):
+            E = len(chunk)
+            xs = [int(x) for x, _ in chunk]
+            cks = [int(kk) for _, (kk, _) in chunk]
+            ys = [int(y_k.value) for _, (_, y_k) in chunk]
+            k_low_raw = HashSampler().sample_hash_batch(
+                params, self.hash_key,
+                [_k_low_tag(gate_id, lut_id, kk, slot_idx) for kk in cks],
+                d, m_g, FinRingDist(),
             )
-            ks.append(k)
-            targets.append(target - ext_matrix @ k_low)
-        # all rows share (B, T): one batched program, column axis sharded over
-        # the mesh (reference multi-GPU k_high fan-out, lwe/pubkey_gpu.rs)
+            dec = _batched_decompose(params, k_low_raw)  # [E, L, m_g, m_g, n]
+            xs_res = residue_planes_from_ints(params, xs)  # [L, E]
+            ys_res = residue_planes_from_ints(params, ys)
+
+            def tile(v):
+                return jnp.tile(v, (1, E, 1, 1))  # [L, E*d, m_g, n]
+
+            def scal(res):
+                # constant polys are slot-constant in EVAL form
+                r = jnp.repeat(res, d, axis=1)[:, :, None, None]
+                return jnp.broadcast_to(r, (L, E * d, 1, n))
+
+            gx = ew_mul(tile(g_eval), scal(xs_res), jt.moduli, jt.qinv_neg, jt.r2)
+            gy = ew_mul(tile(g_eval), scal(ys_res), jt.moduli, jt.qinv_neg, jt.r2)
+            ext = ew_sub(tile(az_eval), gx, jt.moduli)
+            tgt = ew_sub(tile(alt_eval), gy, jt.moduli)
+            ext_b = jnp.transpose(ext.reshape(L, E, d, m_g, n), (1, 0, 2, 3, 4))
+            prod = _vmapped_matmul(params, ext_b, dec)  # [E, L, d, m_g, n]
+            prod_flat = jnp.transpose(prod, (1, 0, 2, 3, 4)).reshape(L, E * d, m_g, n)
+            adj = ew_sub(tgt, prod_flat, jt.moduli)
+            return [
+                PolyMatrix(adj[:, i * d : (i + 1) * d], EVAL, params)
+                for i in range(E)
+            ]
+
+        targets = []
+        for start in range(0, len(entries), chunk_e):
+            targets.extend(assemble(entries[start : start + chunk_e]))
+
+        # all rows share (B, T): one batched program family, column axis
+        # sharded over the mesh (reference multi-GPU k_high fan-out,
+        # lwe/pubkey_gpu.rs)
         k_highs = self.trap_sampler.preimage_batched_chunked(
             params, self.trapdoor, self.pub_matrix, targets, mesh=self.mesh
         )

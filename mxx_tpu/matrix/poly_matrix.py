@@ -348,12 +348,24 @@ class PolyMatrix:
         return self.slice_columns(j, j + 1).decompose()
 
     def mul_decompose(self, other: "PolyMatrix") -> "PolyMatrix":
-        """self @ G^{-1}(other): self [*, d*k], other [d, m] -> [*, m]
-        (reference dcrt_poly.rs:248-274; chunking is a memory optimization
-        there, not a semantic difference)."""
+        """self @ G^{-1}(other): self [*, d*k], other [d, m] -> [*, m].
+
+        With MXX_MUL_DECOMPOSE_COLUMN_CHUNK_WIDTH > 0, G^{-1}(other) is never
+        materialized whole: column chunks decompose + multiply + concat
+        (reference dcrt_poly.rs:248-274 column loop; digit decomposition is
+        per-entry, so chunking is exact)."""
+        from .. import config
+
         k = self.params.modulus_digits
         assert self.ncol == other.nrow * k, (self.shape, other.shape, k)
-        return self @ other.decompose()
+        w = config.mul_decompose_column_chunk_width()
+        if w <= 0 or other.ncol <= w:
+            return self @ other.decompose()
+        outs = [
+            self @ other.slice_columns(s, min(s + w, other.ncol)).decompose()
+            for s in range(0, other.ncol, w)
+        ]
+        return outs[0] if len(outs) == 1 else outs[0].concat_columns(outs[1:])
 
     def mul_decompose_small(self, other: "PolyMatrix") -> "PolyMatrix":
         dpt = self.params.digits_per_tower

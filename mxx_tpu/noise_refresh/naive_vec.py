@@ -199,7 +199,8 @@ class NoiseRefresherNaiveVec:
             )
             inputs = self._lift(one_wire, vals) + [k_wire]
             outs = circuit.eval(
-                self.params, one_wire, inputs, plt_evaluator=plt_evaluator
+                self.params, one_wire, inputs, plt_evaluator=plt_evaluator,
+                batched=True,
             )
             decoded.append(outs)
         return decoded

@@ -61,6 +61,22 @@ def _columns_planes(base_key, cols_arr, q, dist: DistType, nrow: int, n: int):
     return jnp.transpose(planes, (1, 2, 0, 3))  # [L, nrow, ncol, n]
 
 
+@functools.partial(jax.jit, static_argnames=("dist", "nrow", "n"))
+def _batch_columns_planes(base_keys, cols_arr, q, dist: DistType, nrow: int, n: int):
+    """Many (key, same column range) matrices in ONE program: bit-identical
+    to per-key `_columns_planes` (same fold_in/per-column streams)."""
+
+    def per_key(bk):
+        def one_col(j):
+            k = chacha.fold_in(bk, j)
+            return _sample_residues(k, dist, (nrow, n), q)
+
+        return jax.vmap(one_col)(cols_arr)  # [ncol, L, nrow, n]
+
+    planes = jax.vmap(per_key)(base_keys)  # [B, ncol, L, nrow, n]
+    return jnp.transpose(planes, (0, 2, 3, 1, 4))  # [B, L, nrow, ncol, n]
+
+
 def _columns_matrix(params: RingParams, base_key, dist: DistType, nrow: int, cols) -> PolyMatrix:
     """Sample columns [col][L, nrow, n] via per-column fold_in; stack to a matrix.
 
@@ -94,6 +110,20 @@ class HashSampler:
         assert col_start + col_len <= total_ncol, "column window out of bounds"
         base = core.derive_key(key, tag, domain=_dist_domain(dist))
         return _columns_matrix(params, base, dist, nrow, range(col_start, col_start + col_len))
+
+    def sample_hash_batch(
+        self, params: RingParams, key: bytes, tags: list, nrow: int, ncol: int,
+        dist: DistType,
+    ) -> list[PolyMatrix]:
+        """sample_hash for many tags in ONE device program (the offline
+        planes derive one K_low per LUT entry — per-tag dispatch dominates
+        through a high-latency tunnel). Bit-identical to per-tag calls."""
+        bases = jnp.stack(
+            [core.derive_key(key, tag, domain=_dist_domain(dist)) for tag in tags]
+        )
+        cols = jnp.arange(ncol, dtype=jnp.uint32)
+        data = _batch_columns_planes(bases, cols, params.jt.moduli, dist, nrow, params.n)
+        return [PolyMatrix(data[i], COEFF, params) for i in range(len(tags))]
 
     def sample_hash_decomposed(self, params, key, tag, nrow, ncol, dist) -> PolyMatrix:
         return self.sample_hash(params, key, tag, nrow, ncol, dist).decompose()

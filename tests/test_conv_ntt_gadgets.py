@@ -98,3 +98,25 @@ def test_in_circuit_ntt_forward_and_roundtrip():
     got_fwd, got_back = run_polyvec(circuit, params, [vals], [fwd, back])
     assert got_fwd == host_ntt(vals, p)
     assert got_back == vals
+
+
+def test_conv_mul_plaintext_matches_negacyclic():
+    """Public-rhs convolution: slot transfers + adds only (no Mul gates)."""
+    from mxx_tpu.gadgets.conv_mul import negacyclic_conv_mul_plaintext
+    from mxx_tpu.gadgets.ntt_circuit import register_mod_p_lut
+
+    params = RingParams.default()
+    n_slots = 4
+    p = 257
+    rng = random.Random(13)
+    a = [rng.randrange(p) for _ in range(n_slots)]
+    b = [rng.randrange(p) for _ in range(n_slots)]
+    circuit = PolyCircuit()
+    w = circuit.input(1)
+    lut = register_mod_p_lut(circuit, params, p, n_slots * p * p)
+    out = negacyclic_conv_mul_plaintext(circuit, w[0], b, n_slots, p, lut)
+    from mxx_tpu.circuit.gate import MUL
+    assert all(g.kind != MUL for g in circuit.gates), "no Mul gates"
+    (got,) = run_polyvec(circuit, params, [a], [out])
+    want = [v % p for v in negacyclic_mul(a, b, p)]
+    assert got == want

@@ -71,3 +71,34 @@ def test_injector_error_simulation():
         DiamondInjector(params, 5, 4, 2, 4.578, 4.0, seed=137)
     )
     assert sim2.state_errors[0].poly_norm.norm > sim.state_errors[0].poly_norm.norm
+
+
+def test_diamond_io_find_crt_depth():
+    """Diamond CRT-depth search: injector-chain error composed with the
+    wrapped-circuit norms against q/4 (reference diamond_io_find_crt_depth)."""
+    from mxx_tpu.io_protocols.diamond_io import diamond_io_find_crt_depth
+    from mxx_tpu.circuit import PolyCircuit
+    from mxx_tpu.lookup import PublicLut
+
+    def make_circuit(params):
+        c = PolyCircuit()
+        bits = c.input(2)
+        lut = PublicLut.from_dict(params, {x: (x, x % 2) for x in range(4)})
+        lid = c.register_public_lut(lut)
+        c.output([c.public_lookup_gate(c.add_gate(bits[0], bits[1]), lid)])
+        return c
+
+    got = diamond_io_find_crt_depth(
+        256, 28, 7, max_depth=8, input_count=2, batch_bits=1,
+        make_circuit=make_circuit,
+    )
+    assert got is not None
+    depth, params = got
+    assert 1 <= depth <= 8
+    # the found depth is minimal: one less must fail (when depth > 1)
+    if depth > 1:
+        smaller = diamond_io_find_crt_depth(
+            256, 28, 7, max_depth=depth - 1, input_count=2, batch_bits=1,
+            make_circuit=make_circuit,
+        )
+        assert smaller is None

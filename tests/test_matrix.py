@@ -222,3 +222,19 @@ def test_modulus_switch_device_matches_host(n, depth, crt_bits, new_mod):
             for t in range(params.n):
                 want = (ints[i][j][t] * new_mod + q // 2) // q % new_mod
                 assert got_coeffs[t] == want, (i, j, t, got_coeffs[t], want)
+
+
+def test_mul_decompose_column_chunking_exact(monkeypatch):
+    """MXX_MUL_DECOMPOSE_COLUMN_CHUNK_WIDTH chunks G^{-1} column-wise without
+    changing results (reference dcrt_poly.rs:248-274)."""
+    from mxx_tpu.sampler import FinRingDist, UniformSampler
+
+    params = RingParams.new(8, 2, 17, 5)
+    us = UniformSampler(seed=31)
+    k = params.modulus_digits
+    a = us.sample_uniform(params, 1, 2 * k, FinRingDist())
+    b = us.sample_uniform(params, 2, 7, FinRingDist())
+    want = a.mul_decompose(b)
+    monkeypatch.setenv("MXX_MUL_DECOMPOSE_COLUMN_CHUNK_WIDTH", "3")
+    got = a.mul_decompose(b)
+    assert got == want

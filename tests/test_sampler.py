@@ -216,3 +216,18 @@ def test_chacha_streams_distinct_and_deterministic():
     f1 = np.asarray(chacha.fold_in(k1, 7))
     f2 = np.asarray(chacha.fold_in(k1, 8))
     assert (f1 != f2).any()
+
+
+def test_sample_hash_batch_matches_per_tag():
+    """Batched multi-tag hash sampling must be bit-identical to per-tag calls
+    (offline K_low derivations batch; online re-derives per tag)."""
+    from mxx_tpu.sampler import FinRingDist, HashSampler
+
+    params = RingParams.new(8, 3, 20, 10)
+    hs = HashSampler()
+    key = bytes(range(32))
+    tags = [f"t{i}" for i in range(5)]
+    batch = hs.sample_hash_batch(params, key, tags, 2, 6, FinRingDist())
+    for tag, got in zip(tags, batch):
+        want = hs.sample_hash(params, key, tag, 2, 6, FinRingDist())
+        assert got == want, tag
