@@ -215,7 +215,17 @@ def get_storage_system() -> StorageSystem:
 
 
 def get_lookup_buffer(matrices: list, id_prefix: str) -> BatchLookupBuffer:
-    """Build a buffer from (idx, PolyMatrix) pairs."""
+    """Build a buffer from (idx, PolyMatrix) pairs.
+
+    Device-to-host copies are issued asynchronously for the WHOLE batch
+    before any serialization: through a high-latency transport (the axon
+    tunnel) sequential per-matrix fetches dominate offline phases (measured
+    in BENCHMARKS.md round 2)."""
+    for _, m in matrices:
+        try:
+            m.data.copy_to_host_async()
+        except AttributeError:
+            break  # non-jax backing (e.g. already numpy) — nothing to overlap
     return BatchLookupBuffer(
         id_prefix, [(idx, m.to_compact_bytes()) for idx, m in matrices]
     )
