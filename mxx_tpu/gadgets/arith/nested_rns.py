@@ -684,3 +684,68 @@ class NestedRnsPoly:
                     )
                 )
         return outs
+
+
+# --------------------------------------------------- slot-packed ring algebra
+
+
+def _nested_slot_transfer(poly: NestedRnsPoly, circuit: PolyCircuit, spec,
+                          bound_scale: int = 1) -> NestedRnsPoly:
+    """Apply one slot-transfer spec to every component wire (a permutation /
+    scaled selection across packed slots; the nested-RNS structure is
+    untouched). `bound_scale` accounts for prefix scalars in the spec."""
+    wires = [
+        [circuit.slot_transfer_gate_spec(w, spec) for w in lvl]
+        for lvl in poly.wires
+    ]
+    return replace(
+        poly,
+        wires=wires,
+        value_bounds=[v * bound_scale for v in poly.value_bounds],
+        trace_bounds=[t * bound_scale for t in poly.trace_bounds],
+    )
+
+
+def nested_rns_negacyclic_conv(a: NestedRnsPoly, b: NestedRnsPoly,
+                               circuit: PolyCircuit, num_slots: int
+                               ) -> NestedRnsPoly:
+    """Negacyclic cross-slot convolution of two SLOT-PACKED nested-RNS ring
+    elements (slot i of every component wire carries coefficient i's
+    residues): the in-circuit ring multiplication the reference realizes
+    through conv_mul over NestedRnsPoly (src/gadgets/conv_mul/mod.rs with
+    A = nested-RNS wires) — the building block for Ring-GSW with POLYNOMIAL
+    payload keys (ternary ring-poly k).
+
+    Per diagonal d: the signed diagonal diag_d[i] = +-a_d (sign by negacyclic
+    wrap) lifts to the represented-value level via the 3*rep - 2*rep2 trick
+    (`sub` keeps mod-q congruence with q-multiple offsets, so "negative"
+    diagonal values are exact residues), then one nested mul against the
+    rotated b and a balanced add tree."""
+    from ..conv_mul import negacyclic_conv_mul  # noqa: F401  (doc cross-ref)
+    from ...circuit import SlotTransferSpec
+
+    terms = []
+    for d in range(num_slots):
+        rep = _nested_slot_transfer(
+            a, circuit, SlotTransferSpec.repeated(d, num_slots, 0, None)
+        )
+        if d == 0:
+            diag = rep
+        else:
+            rep2 = _nested_slot_transfer(
+                a, circuit, SlotTransferSpec.repeated(d, num_slots, d, 2),
+                bound_scale=2,
+            )
+            diag = rep.const_mul(3, circuit).sub(rep2.const_mul(2, circuit), circuit)
+        rot = _nested_slot_transfer(
+            b, circuit, SlotTransferSpec.rotation(d, num_slots)
+        )
+        terms.append(diag.mul(rot, circuit))
+    while len(terms) > 1:
+        nxt = []
+        for i in range(0, len(terms) - 1, 2):
+            nxt.append(terms[i].add(terms[i + 1], circuit))
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    return terms[0]
