@@ -1,0 +1,201 @@
+"""Ring-GSW over slot-packed ring elements: POLYNOMIAL payload keys.
+
+The scalar RingGSW (ring_gsw.py) fixes the payload key to an integer
+constant; the reference's key is a ternary RING POLY
+(/root/reference/src/io/diamond_io.rs:276-280, ring_gsw.rs). This module is
+the packed-ring construction closing that delta: a ciphertext entry is a
+ring element of dimension `num_slots` whose coefficients live in the packed
+slots of nested-RNS wires, so
+
+- Add/Sub/gadget decomposition apply slot-wise (unchanged nested-RNS ops);
+- entry products in the external product are negacyclic convolutions
+  (`nested_rns_negacyclic_conv`);
+- decryption's key multiplication is the plain-circuit negacyclic conv of
+  the PUBLIC combined top half against the secret packed key wire
+  (`gadgets.conv_mul.negacyclic_conv_mul`: diagonals from the public side,
+  rotations of the key — plaintext-known left operands throughout).
+
+Host-side helpers mirror ring_gsw.py's native bridge with ring-element
+entries (C = [a ; k*a + e] + m*G over R_Q = Z_Q[X]/(X^N + 1)).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ...circuit import PolyCircuit
+from ..arith.nested_rns import (
+    NestedRnsPoly,
+    encode_nested_rns_value,
+    nested_rns_negacyclic_conv,
+)
+from ..conv_mul import negacyclic_conv_mul
+from .ring_gsw import RingGswContext
+
+
+def ring_mul(a: list[int], b: list[int], q: int) -> list[int]:
+    """Host negacyclic product in Z_q[X]/(X^N + 1)."""
+    n = len(a)
+    out = [0] * n
+    for i, ai in enumerate(a):
+        if ai == 0:
+            continue
+        for j, bj in enumerate(b):
+            k = i + j
+            if k < n:
+                out[k] = (out[k] + ai * bj) % q
+            else:
+                out[k - n] = (out[k - n] - ai * bj) % q
+    return out
+
+
+def native_encrypt_poly(ctx: RingGswContext, k_coeffs: list[int], m_coeffs: list[int],
+                        rng, error_sigma: float = 0.0):
+    """C = A + m*G over R_Q^{2 x 2L}: A = [a ; k*a + e] with ring-element
+    entries (coefficient lists), key (-k, 1) a ring poly. `rng` must be a
+    CSPRNG (the a-coefficients are published)."""
+    q = ctx.q_big
+    n = len(k_coeffs)
+    assert len(m_coeffs) == n
+    g = ctx.gadget_row()
+    L = ctx.gadget_len
+
+    def rand_elem():
+        return [rng.randrange(q) for _ in range(n)]
+
+    def err_elem():
+        if error_sigma <= 0:
+            return [0] * n
+        return [round(rng.gauss(0, error_sigma)) % q for _ in range(n)]
+
+    a = [rand_elem() for _ in range(2 * L)]
+    row0 = [list(v) for v in a]
+    row1 = [
+        [(x + e) % q for x, e in zip(ring_mul(k_coeffs, a[j], q), err_elem())]
+        for j in range(2 * L)
+    ]
+    for j in range(L):
+        row0[j] = [(v + mc * g[j]) % q for v, mc in zip(row0[j], m_coeffs)]
+        row1[L + j] = [(v + mc * g[j]) % q for v, mc in zip(row1[L + j], m_coeffs)]
+    return [row0, row1]
+
+
+def native_decrypt_poly(ctx: RingGswContext, native_ct, k_coeffs: list[int],
+                        plaintext_modulus: int) -> list[int]:
+    """(-k, 1) . C . G^{-1}((0, Q/t)) = (Q/t) m + e.w over R_Q (host check)."""
+    from .ring_gsw import RingGswCiphertext
+
+    q = ctx.q_big
+    n = len(k_coeffs)
+    L = ctx.gadget_len
+    probe = RingGswCiphertext(ctx, ([], []), 1)
+    d = probe.gadget_decompose_value_consts(q // plaintext_modulus)
+    top = [0] * n
+    bottom = [0] * n
+    for j, c in enumerate(d):
+        top = [(t + c * v) % q for t, v in zip(top, native_ct[0][L + j])]
+        bottom = [(t + c * v) % q for t, v in zip(bottom, native_ct[1][L + j])]
+    neg_k = [(-c) % q for c in k_coeffs]
+    sd = ring_mul(neg_k, top, q)
+    return [(s + b) % q for s, b in zip(sd, bottom)]
+
+
+def packed_input_values(ctx: RingGswContext, native_ct) -> list[list[int]]:
+    """Per-wire slot-value lists (input order = PackedRingGswCiphertext.input)
+    for a native ring-element ciphertext."""
+    out: list[list[int]] = []
+    for row in native_ct:
+        for elem in row:
+            per_slot = [encode_nested_rns_value(ctx.nested, v % ctx.q_big) for v in elem]
+            levels = len(per_slot[0])
+            k = ctx.nested.k
+            for lvl in range(levels):
+                for i in range(k):
+                    out.append([per_slot[s][lvl][i] for s in range(len(elem))])
+    return out
+
+
+@dataclass
+class PackedRingGswCiphertext:
+    ctx: RingGswContext
+    rows: tuple[list[NestedRnsPoly], list[NestedRnsPoly]]
+    num_slots: int
+    max_plaintext: int = 1
+
+    @staticmethod
+    def input(ctx: RingGswContext, circuit: PolyCircuit, num_slots: int,
+              max_plaintext: int = 1) -> "PackedRingGswCiphertext":
+        rows = tuple(
+            [NestedRnsPoly.input(ctx.nested, circuit) for _ in range(ctx.width)]
+            for _ in range(2)
+        )
+        return PackedRingGswCiphertext(ctx, rows, num_slots, max_plaintext)
+
+    @property
+    def width(self) -> int:
+        return len(self.rows[0])
+
+    def flatten(self) -> list[int]:
+        return [w for row in self.rows for e in row for w in e.flatten()]
+
+    def add(self, other, circuit):
+        rows = tuple(
+            [a.add(b, circuit) for a, b in zip(ra, rb)]
+            for ra, rb in zip(self.rows, other.rows)
+        )
+        return PackedRingGswCiphertext(
+            self.ctx, rows, self.num_slots, self.max_plaintext + other.max_plaintext
+        )
+
+    def mul(self, other: "PackedRingGswCiphertext", circuit: PolyCircuit
+            ) -> "PackedRingGswCiphertext":
+        """External product C_lhs @ G^{-1}(C_rhs) with RING entry products
+        (negacyclic conv across the packed slots)."""
+        assert self.num_slots == other.num_slots
+        L = self.ctx.gadget_len
+        ns = self.num_slots
+        out_rows: tuple[list, list] = ([], [])
+        for j in range(other.width):
+            d0 = other.rows[0][j].gadget_decompose(circuit)
+            d1 = other.rows[1][j].gadget_decompose(circuit)
+            for i in range(2):
+                acc = None
+                for t in range(L):
+                    term = nested_rns_negacyclic_conv(
+                        self.rows[i][t], d0[t], circuit, ns
+                    )
+                    acc = term if acc is None else acc.add(term, circuit)
+                for t in range(L):
+                    term = nested_rns_negacyclic_conv(
+                        self.rows[i][L + t], d1[t], circuit, ns
+                    )
+                    acc = acc.add(term, circuit)
+                out_rows[i].append(acc.full_reduce(circuit))
+        return PackedRingGswCiphertext(
+            self.ctx, out_rows, ns, self.max_plaintext * other.max_plaintext
+        )
+
+    def decrypt(self, circuit: PolyCircuit, key_wire: int, plaintext_modulus: int
+                ) -> tuple[int, int]:
+        """Split decryption: (secret_dependent, public_bottom) PACKED value
+        wires whose slot-wise sum is (Q/t) m_s + noise. `key_wire` carries the
+        packed ring poly -k; its multiplication is a plain-circuit negacyclic
+        conv (public diagonals x key rotations)."""
+        from .ring_gsw import RingGswCiphertext
+
+        ctx = self.ctx
+        L = ctx.gadget_len
+        probe = RingGswCiphertext(ctx, ([], []), 1)
+        d_consts = probe.gadget_decompose_value_consts(ctx.q_big // plaintext_modulus)
+
+        def combine(row_half):
+            acc = None
+            for t, c in enumerate(d_consts):
+                term = row_half[t].const_mul(c, circuit)
+                acc = term if acc is None else acc.add(term, circuit)
+            return acc.reconstruct(circuit)
+
+        top = combine(self.rows[0][L:])
+        bottom = combine(self.rows[1][L:])
+        secret_dependent = negacyclic_conv_mul(circuit, top, key_wire, self.num_slots)
+        return secret_dependent, bottom

@@ -1,0 +1,98 @@
+"""Ring-GSW with POLYNOMIAL payload keys over slot-packed wires: in-circuit
+split decryption and the external product, verified against host ring
+algebra (the remaining Diamond-iO payload-type delta's core construction)."""
+
+import math
+import random
+
+import mxx_tpu  # noqa: F401
+
+from mxx_tpu.circuit import PolyCircuit
+from mxx_tpu.circuit.poly_vec import PolyVec
+from mxx_tpu.gadgets.fhe.packed_ring_gsw import (
+    PackedRingGswCiphertext,
+    native_decrypt_poly,
+    native_encrypt_poly,
+    packed_input_values,
+    ring_mul,
+)
+from mxx_tpu.gadgets.fhe.ring_gsw import RingGswContext
+from mxx_tpu.lookup.vec_eval import PolyVecPltEvaluator
+from mxx_tpu.ring.params import RingParams
+from mxx_tpu.slot_transfer import PolyVecSlotTransferEvaluator
+from mxx_tpu.utils.rng import Drbg
+
+N_SLOTS = 4
+
+
+def _run(circuit, params, vec_inputs):
+    one = PolyVec.const(params, [1] * N_SLOTS)
+    return circuit.eval(
+        params, one,
+        [PolyVec.const(params, v) for v in vec_inputs],
+        plt_evaluator=PolyVecPltEvaluator(),
+        slot_transfer_evaluator=PolyVecSlotTransferEvaluator(),
+    )
+
+
+def test_packed_gsw_poly_key_decrypt():
+    params = RingParams.new(4, 1, 10, 10)
+    circuit = PolyCircuit()
+    ctx = RingGswContext(circuit, params, 5, 2)
+    q = ctx.q_big
+    assert q == params.modulus
+    rng = Drbg(11)
+    k_poly = [1, q - 1, 0, 1]  # ternary ring poly
+    m_poly = [1, 0, 1, 0]
+    t_mod = 4
+    ct = native_encrypt_poly(ctx, k_poly, m_poly, rng)
+    want = native_decrypt_poly(ctx, ct, k_poly, t_mod)
+    assert want == [m_poly[s] * (q // t_mod) % q for s in range(N_SLOTS)]
+
+    w = PackedRingGswCiphertext.input(ctx, circuit, N_SLOTS)
+    key = circuit.input(1)[0]
+    sd, pb = w.decrypt(circuit, key, t_mod)
+    circuit.output([circuit.add_gate(sd, pb)])
+
+    neg_k = [(-c) % q for c in k_poly]
+    outs = _run(circuit, params, packed_input_values(ctx, ct) + [neg_k])
+    got = [int(p.const_coeff()) for p in outs[0].slots]
+    assert got == want, (got, want)
+
+
+def test_packed_gsw_external_product():
+    # 2 slots keep the conv fan-out CI-sized; the negacyclic wrap is still
+    # exercised (X * X = -1 mod X^2 + 1)
+    params = RingParams.new(4, 1, 10, 10)
+    circuit = PolyCircuit()
+    ctx = RingGswContext(circuit, params, 5, 2)
+    q = ctx.q_big
+    rng = Drbg(12)
+    k_poly = [1, q - 1]
+    m1 = [0, 1]  # X
+    m2 = [0, 1]  # X
+    t_mod = 4
+    ct1 = native_encrypt_poly(ctx, k_poly, m1, rng)
+    ct2 = native_encrypt_poly(ctx, k_poly, m2, rng)
+
+    ns = 2
+    w1 = PackedRingGswCiphertext.input(ctx, circuit, ns)
+    w2 = PackedRingGswCiphertext.input(ctx, circuit, ns)
+    key = circuit.input(1)[0]
+    w3 = w1.mul(w2, circuit)
+    sd, pb = w3.decrypt(circuit, key, t_mod)
+    circuit.output([circuit.add_gate(sd, pb)])
+
+    neg_k = [(-c) % q for c in k_poly]
+    one = PolyVec.const(params, [1] * ns)
+    outs = circuit.eval(
+        params, one,
+        [PolyVec.const(params, v) for v in
+         packed_input_values(ctx, ct1) + packed_input_values(ctx, ct2) + [neg_k]],
+        plt_evaluator=PolyVecPltEvaluator(),
+        slot_transfer_evaluator=PolyVecSlotTransferEvaluator(),
+    )
+    got = [int(p.const_coeff()) for p in outs[0].slots]
+    want_m = ring_mul(m1, m2, q)  # X*X = -1: the wrap
+    want = [c * (q // t_mod) % q for c in want_m]
+    assert got == want, (got, want)
