@@ -89,8 +89,6 @@ def core_svp_security_bits(n: int, log2_q: float, sigma: float = 3.19,
     """
     import math
 
-    q = 2.0 ** log2_q
-
     def delta(beta: int) -> float:
         return ((math.pi * beta) ** (1.0 / beta) * beta / (2 * math.pi * math.e)) ** (
             1.0 / (2.0 * (beta - 1))
