@@ -720,8 +720,8 @@ def nested_rns_negacyclic_conv(a: NestedRnsPoly, b: NestedRnsPoly,
     wrap) lifts to the represented-value level via the 3*rep - 2*rep2 trick
     (`sub` keeps mod-q congruence with q-multiple offsets, so "negative"
     diagonal values are exact residues), then one nested mul against the
-    rotated b and a balanced add tree."""
-    from ..conv_mul import negacyclic_conv_mul  # noqa: F401  (doc cross-ref)
+    rotated b and a balanced add tree (gadgets/conv_mul.py is the plain-wire
+    sibling)."""
     from ...circuit import SlotTransferSpec
 
     terms = []
