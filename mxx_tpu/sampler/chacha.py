@@ -102,14 +102,52 @@ def _chacha_blocks(key8, counters, nonce0, nonce1, nonce2):
     return jnp.stack(out, axis=-1)
 
 
+def _chacha_blocks_words_major(key8, counters, nonce0, nonce1, nonce2):
+    """Same keystream as `_chacha_blocks` but stacked [16, nblocks] (word
+    index MAJOR). Large draws must use this layout: a [nblocks, 16] array
+    pads its 16-element lane dimension to 128 on TPU (8x memory — a 1 GB
+    sample transiently allocated 22 GB before this fix)."""
+    nb = counters.shape[0]
+    state = []
+    for i in range(4):
+        state.append(jnp.broadcast_to(jnp.uint32(int(_SIGMA[i])), (nb,)))
+    for i in range(8):
+        state.append(jnp.broadcast_to(key8[i], (nb,)))
+    state.append(counters)
+    for nw in (nonce0, nonce1, nonce2):
+        state.append(jnp.broadcast_to(jnp.asarray(nw, jnp.uint32), (nb,)))
+    init = tuple(state)
+
+    def double_round(_, s):
+        s = list(s)
+        _quarter_round(s, 0, 4, 8, 12)
+        _quarter_round(s, 1, 5, 9, 13)
+        _quarter_round(s, 2, 6, 10, 14)
+        _quarter_round(s, 3, 7, 11, 15)
+        _quarter_round(s, 0, 5, 10, 15)
+        _quarter_round(s, 1, 6, 11, 12)
+        _quarter_round(s, 2, 7, 8, 13)
+        _quarter_round(s, 3, 4, 9, 14)
+        return tuple(s)
+
+    state = jax.lax.fori_loop(0, _N_ROUNDS // 2, double_round, init)
+    out = [s + i for s, i in zip(state, init)]
+    return jnp.stack(out, axis=0)
+
+
 def _keystream_words(key8, nwords: int, domain: np.uint32):
-    """uint32[nwords] of keystream under (key, domain)."""
+    """uint32[nwords] of keystream under (key, domain).
+
+    Word order is WORD-MAJOR across blocks (index = word*nblocks + block) so
+    the big axis stays in the TPU lane dimension; any fixed deterministic
+    order is equally uniform, and offline/online callers re-derive streams
+    through this same function."""
     nblocks = -(-nwords // 16)
     counters = jnp.arange(nblocks, dtype=jnp.uint32)
     # nblocks is a static Python int; realistic draws keep it < 2^32, but
     # carry the high word anyway for safety.
     hi = int(nblocks >> 32)  # 0 for every realistic draw
-    blocks = _chacha_blocks(key8, counters, np.uint32(hi), np.uint32(0), domain)
+    blocks = _chacha_blocks_words_major(key8, counters, np.uint32(hi), np.uint32(0), domain)
     return blocks.reshape(-1)[:nwords]
 
 

@@ -38,7 +38,9 @@ def emit(metric, value, unit, vs=None):
 
 
 def bench_ntt():
-    N, L, B, IT = 1 << 13, 8, 32, 20
+    from jax import lax
+
+    N, L, B, IT = 1 << 13, 8, 512, 10
     params = RingParams.new(N, L, 28, 14)
     jt = params.jt
     rng = np.random.default_rng(0)
@@ -46,13 +48,18 @@ def bench_ntt():
         np.stack([rng.integers(0, q, (B, N), dtype=np.uint64).astype(np.uint32)
                   for q in params.moduli])
     )
-    f = jax.jit(lambda v: ntt_fwd(v, jt.psi_rev_mont, jt.moduli, jt.qinv_neg))
+    if jax.devices()[0].platform != "cpu":
+        from mxx_tpu.ops.pallas_four_step import four_step_ntt_fwd_fused
+
+        step = lambda a: four_step_ntt_fwd_fused(a, params=params)  # noqa: E731
+    else:
+        step = lambda a: ntt_fwd(a, jt.psi_rev_mont, jt.moduli, jt.qinv_neg)  # noqa: E731
+    # iterations chained inside ONE program — per-dispatch chaining measures
+    # tunnel latency, not device throughput
+    f = jax.jit(lambda v: lax.fori_loop(0, IT, lambda i, a: step(a), v))
     probe(f(x))
     t0 = time.perf_counter()
-    y = x
-    for _ in range(IT):
-        y = f(y)  # chained so no iteration can be elided
-    probe(y)
+    probe(f(x))
     emit(f"ntt_limb_transforms_per_s_n{N}_L{L}", L * B * IT / (time.perf_counter() - t0),
          "limb-NTTs/s", None)
 
@@ -86,13 +93,18 @@ def bench_preimage(n=16384, L=10, crt_bits=24, base_bits=12, cols=50, iters=2):
 
 if __name__ == "__main__":
     bench_ntt()
-    try:
-        bench_matmul()
-    except Exception as e:  # memory-bound fallback
-        print(f"# matmul full-size failed ({type(e).__name__}); halving", flush=True)
-        bench_matmul(n=8192, L=8)
-    try:
-        bench_preimage()
-    except Exception as e:
-        print(f"# preimage full-size failed ({type(e).__name__}); halving", flush=True)
-        bench_preimage(n=8192, L=5)
+    for args in ((), (8192, 8)):
+        try:
+            bench_matmul(*args) if args == () else bench_matmul(n=args[0], L=args[1])
+            break
+        except Exception as e:  # memory-bound fallback (16 GB chip + layout padding)
+            print(f"# matmul at {args or 'full size'} failed ({type(e).__name__})", flush=True)
+            import gc
+
+            gc.collect()  # drop the failed attempt's device buffers
+    for args in ((), (8192, 5)):
+        try:
+            bench_preimage(*args) if args == () else bench_preimage(n=args[0], L=args[1])
+            break
+        except Exception as e:
+            print(f"# preimage at {args or 'full size'} failed ({type(e).__name__})", flush=True)
