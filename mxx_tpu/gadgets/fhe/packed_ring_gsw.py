@@ -175,6 +175,31 @@ class PackedRingGswCiphertext:
             self.ctx, out_rows, ns, self.max_plaintext * other.max_plaintext
         )
 
+    def sub(self, other, circuit):
+        rows = tuple(
+            [a.sub(b, circuit) for a, b in zip(ra, rb)]
+            for ra, rb in zip(self.rows, other.rows)
+        )
+        return PackedRingGswCiphertext(
+            self.ctx, rows, self.num_slots, self.max_plaintext + other.max_plaintext
+        )
+
+    def and_(self, other, circuit):
+        """Boolean AND for DEGREE-0 (constant) bit plaintexts: the ring
+        product of two constants is the scalar product, so the scalar GSW's
+        boolean algebra carries over unchanged — the packing lives in the
+        CIPHERTEXT entries (ring elements under the poly key), exactly the
+        reference's seed-bit semantics (ring_gsw.rs:1297-1330)."""
+        assert self.max_plaintext == 1 and other.max_plaintext == 1
+        return self.mul(other, circuit)
+
+    def xor(self, other, circuit):
+        assert self.max_plaintext == 1 and other.max_plaintext == 1
+        s = self.add(other, circuit)
+        p = self.mul(other, circuit)
+        out = s.sub(p, circuit).sub(p, circuit)
+        return PackedRingGswCiphertext(out.ctx, out.rows, out.num_slots, 1)
+
     def decrypt(self, circuit: PolyCircuit, key_wire: int, plaintext_modulus: int
                 ) -> tuple[int, int]:
         """Split decryption: (secret_dependent, public_bottom) PACKED value

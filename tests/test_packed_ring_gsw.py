@@ -96,3 +96,53 @@ def test_packed_gsw_external_product():
     want_m = ring_mul(m1, m2, q)  # X*X = -1: the wrap
     want = [c * (q // t_mod) % q for c in want_m]
     assert got == want, (got, want)
+
+
+def test_packed_gsw_goldreich_prg():
+    """Goldreich PRG over PACKED Ring-GSW ciphertexts with a polynomial key:
+    seed bits as degree-0 plaintexts under ring-element ciphertext entries
+    (the reference's seed-bit semantics); outputs decrypt to the host PRG
+    bits — the packed PRF-pipeline integration step for poly-k Diamond."""
+    from mxx_tpu.gadgets.fhe_prg import GoldreichFhePrg
+
+    params = RingParams.new(4, 1, 10, 10)
+    circuit = PolyCircuit()
+    ctx = RingGswContext(circuit, params, 5, 2)
+    q = ctx.q_big
+    ns = 2
+    rng = Drbg(21)
+    k_poly = [1, q - 1]
+    seed_bits = [1, 0, 1, 1, 0]
+    t_mod = 4
+
+    cts = [
+        native_encrypt_poly(ctx, k_poly, [b] + [0] * (ns - 1), rng)
+        for b in seed_bits
+    ]
+    ws = [PackedRingGswCiphertext.input(ctx, circuit, ns) for _ in seed_bits]
+    key = circuit.input(1)[0]
+    prg = GoldreichFhePrg.setup(len(seed_bits), 1, bytes(range(32)))
+    outs_ct = prg.evaluate(ws, circuit)
+    out_wires = []
+    for ct in outs_ct:
+        sd, pb = ct.decrypt(circuit, key, t_mod)
+        out_wires.append(circuit.add_gate(sd, pb))
+    circuit.output(out_wires)
+
+    neg_k = [(-c) % q for c in k_poly]
+    vec_inputs = []
+    for ct in cts:
+        vec_inputs.extend(packed_input_values(ctx, ct))
+    vec_inputs.append(neg_k)
+    one = PolyVec.const(params, [1] * ns)
+    outs = circuit.eval(
+        params, one,
+        [PolyVec.const(params, v) for v in vec_inputs],
+        plt_evaluator=PolyVecPltEvaluator(),
+        slot_transfer_evaluator=PolyVecSlotTransferEvaluator(),
+    )
+    want_bits = prg.evaluate_uniform(seed_bits)
+    got_bits = [
+        int(o.slots[0].const_coeff()) // (q // t_mod) for o in outs
+    ]
+    assert got_bits == list(want_bits), (got_bits, want_bits)
