@@ -232,10 +232,24 @@ class DiamondInjector:
                         sel = self._k_transition_selector(mask)
                     else:
                         sel = self._transition_selector(mask)
-                    target = sel @ b_checkpoints[level][state_idx] + self._error(
-                        self.state_row_size, self.state_col_size()
-                    )
                     src = self.transition_source_state_idx(level, state_idx)
+                    err = self._error(self.state_row_size, self.state_col_size())
+                    if src == 0 and self.error_sigma > 0.0:
+                        # Transitions sourced from the k-carrying state: the
+                        # online product [sigma, k] @ e_target multiplies the
+                        # bottom error rows by the payload k — fatal when k is
+                        # q/2-scaled (DiamondWE: (q/2)*e mod q flips decode by
+                        # parity). Those rows of the target are [0, I] @ B or
+                        # [0, 0] @ B — PUBLIC values — so the error there
+                        # protects nothing; zero it by construction. The
+                        # reference keeps full-row errors and instead pins its
+                        # WE tests to error_sigma = 0 (diamond_we.rs:579).
+                        err = err.slice_rows(0, self.secret_size).concat_rows([
+                            PolyMatrix.zero(
+                                self.params, self.secret_size, self.state_col_size()
+                            )
+                        ])
+                    target = sel @ b_checkpoints[level][state_idx] + err
                     pending.setdefault(src, []).append((kid, target))
             for src, items in pending.items():
                 preimages = self._trap.preimage_batched_chunked(

@@ -206,9 +206,13 @@ def test_diamond_we_noise_n256(tmp_path):
     from mxx_tpu.input_injector import DiamondInjector
     from mxx_tpu.we import DiamondWE
 
-    # base 2^7: the decoder's extra G^{-1}(r) multiplication must leave the
-    # error below q/4 after the injector chain + circuit eval growth
-    params = RingParams.new(256, 4, 28, 7)
+    # base 2^7, 5 limbs: the decoder's extra G^{-1}(r) multiplication and the
+    # n-fold polynomial products must leave the error below q/4 after the
+    # injector chain + circuit eval growth (the reference pins its own WE
+    # tests to injector sigma=0, diamond_we.rs:579 — this asserts the noisy
+    # regime instead, with the payload-row error zeroed by construction in
+    # the injector)
+    params = RingParams.new(256, 5, 28, 7)
     witness_size = 2
     instance = [False]
     circuit = PolyCircuit()
