@@ -33,6 +33,86 @@ from ..conv_mul import negacyclic_conv_mul
 from .ring_gsw import RingGswContext
 
 
+def subring_stride(params, num_slots: int) -> int:
+    """phi: R' = Z_Q[X']/(X'^ns + 1) -> R = Z_Q[X]/(X^n + 1), X' -> X^{n/ns}
+    is an exact ring homomorphism (requires ns | n). Returns n / ns."""
+    assert params.n % num_slots == 0, (params.n, num_slots)
+    return params.n // num_slots
+
+
+def embed_coeffs(params, coeffs: list[int], num_slots: int) -> list[int]:
+    """Host phi-embedding: R' coefficient list -> length-n R coefficient
+    list (coefficient s lands at s * n/ns)."""
+    stride = subring_stride(params, num_slots)
+    out = [0] * params.n
+    for s, c in enumerate(coeffs):
+        out[s * stride] = c % params.modulus
+    return out
+
+
+def embed_packed_value(circuit: PolyCircuit, params, wire: int, num_slots: int) -> int:
+    """In-circuit phi-embedding of a slot-packed value wire (slot s =
+    coefficient s of an R' element) into ONE slot-uniform wire carrying
+    phi(v) = sum_s v_s X^{s n/ns}: broadcast each slot (repeated slot
+    transfer) and shift it by the phi-monomial."""
+    from ...circuit import SlotTransferSpec
+
+    stride = subring_stride(params, num_slots)
+    acc = None
+    for s in range(num_slots):
+        b = circuit.slot_transfer_gate_spec(
+            wire, SlotTransferSpec.repeated(s, num_slots, 0, None)
+        )
+        if s:
+            mono = [0] * params.n
+            mono[s * stride] = 1
+            b = circuit.small_scalar_mul(b, mono)
+        acc = b if acc is None else circuit.add_gate(acc, b)
+    return acc
+
+
+def packed_decrypt_bit_decomposed_parts(circuit: PolyCircuit, params,
+                                        bits: list["PackedRingGswCiphertext"],
+                                        negk_wire: int,
+                                        plaintext_moduli: list[int],
+                                        num_slots: int) -> tuple[int, int]:
+    """Split decrypt of a bit-decomposed PACKED mask under a POLY key
+    (coeff-major chunk layout bits[coeff * bit_size + bit], coefficients over
+    R'): per bit, the combined tops of the ns coefficient ciphertexts are
+    phi-embedded, packed with phi-monomials X^{i n/ns}, and multiplied ONCE
+    against the phi(-k) key wire — the packed analog of
+    noise_refresh.circuit_decrypt.decrypt_bit_decomposed_polynomial_parts
+    (reference mask_circuit.rs:123-169 with a ternary ring-poly key)."""
+    bit_size = len(plaintext_moduli)
+    assert bit_size > 0
+    n_coeffs = len(bits) // bit_size
+    assert 0 < n_coeffs <= num_slots and n_coeffs * bit_size == len(bits), (
+        "chunk must be n_coeffs * bit_size with n_coeffs <= num_slots"
+    )
+    stride = subring_stride(params, num_slots)
+    sd_acc = None
+    pb_acc = None
+    for bit_idx, t in enumerate(plaintext_moduli):
+        top_acc = None
+        bot_acc = None
+        for coeff in range(n_coeffs):
+            ct = bits[coeff * bit_size + bit_idx]
+            top, bot = ct.combined_halves(circuit, t)
+            top = embed_packed_value(circuit, params, top, num_slots)
+            bot = embed_packed_value(circuit, params, bot, num_slots)
+            if coeff:
+                mono = [0] * params.n
+                mono[coeff * stride] = 1
+                top = circuit.small_scalar_mul(top, mono)
+                bot = circuit.small_scalar_mul(bot, mono)
+            top_acc = top if top_acc is None else circuit.add_gate(top_acc, top)
+            bot_acc = bot if bot_acc is None else circuit.add_gate(bot_acc, bot)
+        sd = circuit.mul_gate(top_acc, negk_wire)
+        sd_acc = sd if sd_acc is None else circuit.add_gate(sd_acc, sd)
+        pb_acc = bot_acc if pb_acc is None else circuit.add_gate(pb_acc, bot_acc)
+    return sd_acc, pb_acc
+
+
 def ring_mul(a: list[int], b: list[int], q: int) -> list[int]:
     """Host negacyclic product in Z_q[X]/(X^N + 1)."""
     n = len(a)
@@ -100,6 +180,25 @@ def native_decrypt_poly(ctx: RingGswContext, native_ct, k_coeffs: list[int],
     return [(s + b) % q for s, b in zip(sd, bottom)]
 
 
+def native_combined_halves_poly(ctx: RingGswContext, native_ct,
+                                plaintext_modulus: int) -> tuple[list[int], list[int]]:
+    """Host pre-key decrypt halves (TOP, BOT) of a native packed ciphertext
+    as R' elements: -k (x) TOP + BOT = (Q/t) m + e.w."""
+    from .ring_gsw import RingGswCiphertext
+
+    q = ctx.q_big
+    n = len(native_ct[0][0])
+    L = ctx.gadget_len
+    probe = RingGswCiphertext(ctx, ([], []), 1)
+    d = probe.gadget_decompose_value_consts(q // plaintext_modulus)
+    top = [0] * n
+    bottom = [0] * n
+    for j, c in enumerate(d):
+        top = [(t + c * v) % q for t, v in zip(top, native_ct[0][L + j])]
+        bottom = [(t + c * v) % q for t, v in zip(bottom, native_ct[1][L + j])]
+    return top, bottom
+
+
 def packed_input_values(ctx: RingGswContext, native_ct) -> list[list[int]]:
     """Per-wire slot-value lists (input order = PackedRingGswCiphertext.input)
     for a native ring-element ciphertext."""
@@ -129,6 +228,25 @@ class PackedRingGswCiphertext:
             [NestedRnsPoly.input(ctx.nested, circuit) for _ in range(ctx.width)]
             for _ in range(2)
         )
+        return PackedRingGswCiphertext(ctx, rows, num_slots, max_plaintext)
+
+    @staticmethod
+    def from_wires(ctx: RingGswContext, wires, num_slots: int,
+                   max_plaintext: int = 1) -> "PackedRingGswCiphertext":
+        """Rebuild from gate ids in `flatten()` order (mirrors
+        RingGswCiphertext.from_wires; slot packing lives in the wire VALUES,
+        so the wire count per ciphertext is identical to the scalar case)."""
+        per_entry = ctx.nested.q_moduli_depth * ctx.nested.k
+        ids = list(wires)
+        assert len(ids) == 2 * ctx.width * per_entry, (len(ids), ctx.width, per_entry)
+        rows: tuple[list, list] = ([], [])
+        pos = 0
+        for i in range(2):
+            for _ in range(ctx.width):
+                rows[i].append(
+                    NestedRnsPoly.from_wires(ctx.nested, ids[pos : pos + per_entry])
+                )
+                pos += per_entry
         return PackedRingGswCiphertext(ctx, rows, num_slots, max_plaintext)
 
     @property
@@ -200,12 +318,10 @@ class PackedRingGswCiphertext:
         out = s.sub(p, circuit).sub(p, circuit)
         return PackedRingGswCiphertext(out.ctx, out.rows, out.num_slots, 1)
 
-    def decrypt(self, circuit: PolyCircuit, key_wire: int, plaintext_modulus: int
-                ) -> tuple[int, int]:
-        """Split decryption: (secret_dependent, public_bottom) PACKED value
-        wires whose slot-wise sum is (Q/t) m_s + noise. `key_wire` carries the
-        packed ring poly -k; its multiplication is a plain-circuit negacyclic
-        conv (public diagonals x key rotations)."""
+    def combined_halves(self, circuit: PolyCircuit, plaintext_modulus: int
+                        ) -> tuple[int, int]:
+        """Pre-key decrypt halves (top, bottom) as PACKED value wires (slot
+        s = coefficient s of the combined R' element)."""
         from .ring_gsw import RingGswCiphertext
 
         ctx = self.ctx
@@ -220,7 +336,30 @@ class PackedRingGswCiphertext:
                 acc = term if acc is None else acc.add(term, circuit)
             return acc.reconstruct(circuit)
 
-        top = combine(self.rows[0][L:])
-        bottom = combine(self.rows[1][L:])
+        return combine(self.rows[0][L:]), combine(self.rows[1][L:])
+
+    def decrypt(self, circuit: PolyCircuit, key_wire: int, plaintext_modulus: int
+                ) -> tuple[int, int]:
+        """Split decryption: (secret_dependent, public_bottom) PACKED value
+        wires whose slot-wise sum is (Q/t) m_s + noise. `key_wire` carries the
+        packed ring poly -k; its multiplication is a plain-circuit negacyclic
+        conv (public diagonals x key rotations)."""
+        top, bottom = self.combined_halves(circuit, plaintext_modulus)
         secret_dependent = negacyclic_conv_mul(circuit, top, key_wire, self.num_slots)
         return secret_dependent, bottom
+
+    def decrypt_embedded(self, circuit: PolyCircuit, params, negk_wire: int,
+                         plaintext_modulus: int) -> tuple[int, int]:
+        """Split decryption via the SUBRING EMBEDDING phi: R' -> R,
+        X' -> X^{n/ns} (exact ring homomorphism since (X^{n/ns})^{ns} = -1):
+        the combined packed halves are folded into slot-uniform wires carrying
+        phi(TOP), phi(BOT), and the key multiplication is ONE plain mul
+        against `negk_wire`, whose plaintext is phi(-k) — the wire the Diamond
+        k-channel naturally produces (reference diamond_io.rs key wire:
+        decrypt_batch's single mul against the k poly, ring_gsw.rs:1518+).
+        Returns slot-uniform (secret_dependent, public_bottom) wires; R'
+        coefficient j of the result is R coefficient j*(n/ns)."""
+        top, bottom = self.combined_halves(circuit, plaintext_modulus)
+        top_hat = embed_packed_value(circuit, params, top, self.num_slots)
+        bot_hat = embed_packed_value(circuit, params, bottom, self.num_slots)
+        return circuit.mul_gate(top_hat, negk_wire), bot_hat

@@ -87,3 +87,69 @@ def native_decrypt(params: RingParams, native_ct, k_secret: int,
                    plaintext_modulus: int) -> int:
     top, bottom = decrypt_constants(params, native_ct, plaintext_modulus)
     return (-k_secret * top + bottom) % params.modulus
+
+
+# ------------------------------------------------- ternary ring-poly key
+
+
+def native_encrypt_poly(params: RingParams, k_coeffs: list[int], m: int, rng,
+                        plaintext_modulus: int, error_sigma: float = 0.0):
+    """Plain-gadget GSW over R' = Z_Q[X']/(X'^ns + 1) with a RING-POLY key
+    (-k, 1): C = [a ; k (x) a + e] + m*G, entries R' elements (coefficient
+    lists). The Diamond unit-ciphertext channel with the reference's ternary
+    poly payload (diamond_io.rs:278)."""
+    from .packed_ring_gsw import ring_mul
+
+    q = params.modulus
+    n = len(k_coeffs)
+    g = gadget_values(params)
+    K = params.modulus_digits
+
+    def rand_elem():
+        return [rng.randrange(q) for _ in range(n)]
+
+    def err_elem():
+        if error_sigma <= 0:
+            return [0] * n
+        return [round(rng.gauss(0, error_sigma)) % q for _ in range(n)]
+
+    a = [rand_elem() for _ in range(2 * K)]
+    row0 = [list(v) for v in a]
+    row1 = [
+        [(x + e) % q for x, e in zip(ring_mul(k_coeffs, a[j], q), err_elem())]
+        for j in range(2 * K)
+    ]
+    for j in range(K):
+        row0[j] = [(v + (m * g[j] if i == 0 else 0)) % q for i, v in enumerate(row0[j])]
+        row1[K + j] = [
+            (v + (m * g[j] if i == 0 else 0)) % q for i, v in enumerate(row1[K + j])
+        ]
+    return [row0, row1]
+
+
+def decrypt_constants_poly(params: RingParams, native_ct, plaintext_modulus: int
+                           ) -> tuple[list[int], list[int]]:
+    """(top, bottom) R' elements of the decrypt combination for a poly-key
+    plain ciphertext: -k (x) top + bottom = (Q/t)*m + e.w over R'."""
+    q = params.modulus
+    scaled = q // plaintext_modulus
+    d = gadget_decompose_value(params, scaled)
+    K = params.modulus_digits
+    n = len(native_ct[0][0])
+    top = [0] * n
+    bottom = [0] * n
+    for t in range(K):
+        top = [(x + native_ct[0][K + t][i] * d[t]) % q for i, x in enumerate(top)]
+        bottom = [(x + native_ct[1][K + t][i] * d[t]) % q for i, x in enumerate(bottom)]
+    return top, bottom
+
+
+def native_decrypt_poly(params: RingParams, native_ct, k_coeffs: list[int],
+                        plaintext_modulus: int) -> list[int]:
+    from .packed_ring_gsw import ring_mul
+
+    q = params.modulus
+    top, bottom = decrypt_constants_poly(params, native_ct, plaintext_modulus)
+    neg_k = [(-c) % q for c in k_coeffs]
+    sd = ring_mul(neg_k, top, q)
+    return [(s + b) % q for s, b in zip(sd, bottom)]

@@ -34,11 +34,24 @@ Enc_{(-k,1)}(1), and the PRF mask's secret-dependent half is added:
 
 rounded mod 2.
 
-Deviations from the reference (documented): the obfuscated function is an
-arbitrary builder circuit (the reference's FuncType is the Goldreich PRF
-itself; the builder generalizes it — a PRF builder reproduces the reference
-exactly); k is restricted to {-1, +1} (integer-GSW payload vs the reference's
-ternary ring poly); wires are scalar (slot-packed vec wires lift slot-wise).
+Payload modes:
+- scalar (payload_slots=1): k restricted to {-1, +1} (integer-GSW payload);
+  wires are scalar (num_slots>1 lifts slot-wise over duplicated vec wires).
+- PACKED (payload_slots=ns>1): k is a TERNARY RING POLY over
+  R' = Z_Q[X']/(X'^ns + 1) — the reference's payload type
+  (diamond_io.rs:278). Seed/mask ciphertexts are packed Ring-GSW over R'
+  (entries = R' elements riding vec-wire slots, coefficient per slot); the
+  key multiplication rides phi: X' -> X^{n/ns} (an exact subring
+  homomorphism), so the in-circuit decrypt is slot-fold + ONE plain mul
+  against the k wire, whose injector-channel plaintext is phi(k). Per-round
+  seed evolution rebases EVERY slot through stored preimages; the per-round
+  noise REFRESH is not yet applied to packed wires (rebase keeps the
+  pubkeys branch-independent, so correctness holds with additive noise
+  growth per round — packed NoiseRefresherNaiveVec is the remaining item).
+
+Other deviations (documented): the obfuscated function is an arbitrary
+builder circuit (the reference's FuncType is the Goldreich PRF itself; the
+builder generalizes it — a PRF builder reproduces the reference exactly).
 LUT evaluators are injected: production uses the storage-backed LWE
 evaluators, CI tests the secret-oracle debug evaluators (lookup/debug.py).
 """
@@ -56,8 +69,15 @@ from ..decoder.mask_circuit import (
     center_public_bottom,
     mask_plaintext_moduli_from_full_modulus,
 )
-from ..gadgets.fhe.plain_gsw import decrypt_constants
+from ..gadgets.fhe.packed_ring_gsw import (
+    PackedRingGswCiphertext,
+    embed_coeffs,
+    packed_decrypt_bit_decomposed_parts,
+)
+from ..gadgets.fhe.packed_ring_gsw import native_encrypt_poly as packed_native_encrypt
+from ..gadgets.fhe.plain_gsw import decrypt_constants, decrypt_constants_poly
 from ..gadgets.fhe.plain_gsw import native_encrypt as plain_native_encrypt
+from ..gadgets.fhe.plain_gsw import native_encrypt_poly as plain_native_encrypt_poly
 from ..gadgets.fhe.ring_gsw import RingGswCiphertext, encode_ciphertext_inputs, native_encrypt
 from ..gadgets.fhe_prg.goldreich import GoldreichFhePrg
 from ..input_injector import DiamondInjector, DiamondInjectorPreprocessOut
@@ -98,6 +118,7 @@ class DiamondIO:
         enc_plt_evaluator_factory=None,
         secret_size: int = DIAMOND_SECRET_SIZE,
         num_slots: int = 1,
+        payload_slots: int = 1,
         mesh=None,
     ):
         self.params = params
@@ -107,6 +128,18 @@ class DiamondIO:
         self.trapdoor_sigma = trapdoor_sigma
         self.error_sigma = error_sigma
         self.secret_size = secret_size
+        # payload_slots > 1 = PACKED payload mode: k is a TERNARY RING POLY
+        # over R' = Z_Q[X']/(X'^ns + 1) (the reference's payload type,
+        # diamond_io.rs:278), embedded into R via phi: X' -> X^{n/ns}; seed
+        # and mask ciphertexts are packed Ring-GSW over R' riding vec-wire
+        # slots, and the whole protocol evaluates over vec wires.
+        self.payload_slots = payload_slots
+        if payload_slots > 1:
+            assert params.n % payload_slots == 0, (params.n, payload_slots)
+            assert num_slots in (1, payload_slots), (
+                "packed payload mode fixes the vec slot count to payload_slots"
+            )
+            num_slots = payload_slots
         self.num_slots = num_slots
         self.injector = DiamondInjector(
             params, input_count, self.base, batch_bits, trapdoor_sigma, error_sigma,
@@ -143,7 +176,10 @@ class DiamondIO:
         )
 
     def _mask_bits_per_output(self) -> int:
-        return self.params.n * self.prf_config.prf_mask_output_coeff_bits
+        # packed mode: masks live in R' (one packed ciphertext per R'
+        # coefficient); scalar mode: one scalar ciphertext per R coefficient
+        n_coeffs = self.payload_slots if self.payload_slots > 1 else self.params.n
+        return n_coeffs * self.prf_config.prf_mask_output_coeff_bits
 
     def _build_wrapped_circuit(self, prf: PrfMaskPipeline, builder, unit_consts,
                                num_outputs: int, debug: PrfDebugArtifacts | None):
@@ -156,28 +192,50 @@ class DiamondIO:
         + build_goldreich_prg_range_circuit)."""
         cfg = self.prf_config
         params = self.params
+        packed = self.payload_slots > 1
+        ns = self.payload_slots
+        bits_per_output = self._mask_bits_per_output()
         circuit = prf.ctx.fresh_circuit()
-        num_seed_wires = (
-            0 if cfg.debug_encrypt_random_prg_wires
-            else cfg.seed_bits * prf.wires_per_ct
-        )
-        wires = circuit.input(self.num_input_bits + 1 + num_seed_wires)
+        if packed and cfg.debug_encrypt_random_prg_wires:
+            # packed replay: mask ciphertexts carry DISTINCT slot values, so
+            # they enter as lifted INPUT wires (consts are slot-uniform)
+            num_extra_wires = num_outputs * bits_per_output * prf.wires_per_ct
+        elif cfg.debug_encrypt_random_prg_wires:
+            num_extra_wires = 0
+        else:
+            num_extra_wires = cfg.seed_bits * prf.wires_per_ct
+        wires = circuit.input(self.num_input_bits + 1 + num_extra_wires)
         bit_wires = wires[: self.num_input_bits]
         k_wire = wires[self.num_input_bits]
-        seed_wires = list(wires)[self.num_input_bits + 1 :]
+        extra_wires = list(wires)[self.num_input_bits + 1 :]
 
         f_outs = builder(circuit, bit_wires)
         assert len(f_outs) == num_outputs
         zero = circuit.sub_gate(k_wire, k_wire)
         negk = circuit.sub_gate(zero, k_wire)
         top_u, bottom_u = unit_consts
+        top_u_coeffs = list(top_u) if packed else [top_u]
+        bottom_u_coeffs = list(bottom_u) if packed else [bottom_u]
         sd_u = circuit.mul_gate(
-            circuit.large_scalar_mul(circuit.const_one_gate(), [top_u]), negk
+            circuit.large_scalar_mul(circuit.const_one_gate(), top_u_coeffs), negk
         )
 
         # mask-bit ciphertext wires per output
-        bits_per_output = self._mask_bits_per_output()
-        if cfg.debug_encrypt_random_prg_wires:
+        if packed and cfg.debug_encrypt_random_prg_wires:
+            per_ct = prf.wires_per_ct
+            mask_cts_per_output = []
+            pos = 0
+            for out_idx in range(num_outputs):
+                cts = []
+                for _ in range(bits_per_output):
+                    cts.append(
+                        PackedRingGswCiphertext.from_wires(
+                            prf.ctx, extra_wires[pos : pos + per_ct], ns
+                        )
+                    )
+                    pos += per_ct
+                mask_cts_per_output.append(cts)
+        elif cfg.debug_encrypt_random_prg_wires:
             assert debug is not None and len(debug.final_mask_cts) == num_outputs
             mask_cts_per_output = []
             for out_idx in range(num_outputs):
@@ -190,13 +248,23 @@ class DiamondIO:
                     )
                 mask_cts_per_output.append(cts)
         else:
-            seed_cts_wires = [
-                RingGswCiphertext.from_wires(
-                    prf.ctx,
-                    seed_wires[i * prf.wires_per_ct : (i + 1) * prf.wires_per_ct],
-                )
-                for i in range(cfg.seed_bits)
-            ]
+            if packed:
+                seed_cts_wires = [
+                    PackedRingGswCiphertext.from_wires(
+                        prf.ctx,
+                        extra_wires[i * prf.wires_per_ct : (i + 1) * prf.wires_per_ct],
+                        ns,
+                    )
+                    for i in range(cfg.seed_bits)
+                ]
+            else:
+                seed_cts_wires = [
+                    RingGswCiphertext.from_wires(
+                        prf.ctx,
+                        extra_wires[i * prf.wires_per_ct : (i + 1) * prf.wires_per_ct],
+                    )
+                    for i in range(cfg.seed_bits)
+                ]
             total_bits = num_outputs * bits_per_output
             g = GoldreichFhePrg.setup(
                 cfg.seed_bits, total_bits,
@@ -212,16 +280,21 @@ class DiamondIO:
         outputs = []
         for o, f in enumerate(f_outs):
             # coeff-major chunk layout (bits[coeff * bit_size + bit])
-            sd_mask, pb_mask = decrypt_bit_decomposed_polynomial_parts(
-                circuit, mask_cts_per_output[o], negk, moduli
-            )
+            if packed:
+                sd_mask, pb_mask = packed_decrypt_bit_decomposed_parts(
+                    circuit, params, mask_cts_per_output[o], negk, moduli, ns
+                )
+            else:
+                sd_mask, pb_mask = decrypt_bit_decomposed_polynomial_parts(
+                    circuit, mask_cts_per_output[o], negk, moduli
+                )
             pb_mask_centered = center_public_bottom(
                 circuit, params, pb_mask, cfg.prf_mask_output_coeff_bits
             )
             sd_out = circuit.mul_gate(f, sd_u)
             sd_total = circuit.add_gate(sd_out, sd_mask)
             pb_out = circuit.mul_gate(
-                f, circuit.large_scalar_mul(circuit.const_one_gate(), [bottom_u])
+                f, circuit.large_scalar_mul(circuit.const_one_gate(), bottom_u_coeffs)
             )
             outputs.extend([sd_total, pb_out, pb_mask_centered])
         circuit.output(outputs)
@@ -239,7 +312,7 @@ class DiamondIO:
             self._prf = PrfMaskPipeline(
                 self.params, self.prf_config, getattr(self, "_hash_key", b"\0" * 32),
                 self._trap, self.input_count, self.batch_bits,
-                secret_size=self.secret_size,
+                secret_size=self.secret_size, num_slots=self.payload_slots,
             )
         return self._prf
 
@@ -255,7 +328,9 @@ class DiamondIO:
         ns = self.num_slots
         out = []
         for w in wires:
-            if isinstance(w, BggEncoding):
+            if isinstance(w, (BGGEncodingVec, BGGPublicKeyVec)):
+                out.append(w)  # already a vec (packed-mode lifted wires)
+            elif isinstance(w, BggEncoding):
                 out.append(BGGEncodingVec.new([w] * ns))
             else:
                 out.append(BGGPublicKeyVec.new([w] * ns))
@@ -337,12 +412,24 @@ class DiamondIO:
         self._hash_key = hash_key
         num_bits = self.num_input_bits
 
-        # payload k: ternary CONSTANT restricted to +-1 (the GSW mask key must
-        # be invertible for the absolute-channel bottom targets).
-        # CSPRNG when unseeded: ciphertext a-values are published.
+        # payload k. Packed mode: a TERNARY RING POLY over R' (the reference's
+        # payload type, diamond_io.rs:278), phi-embedded into R for the
+        # injector and the key wire. Scalar mode: ternary constant restricted
+        # to +-1. CSPRNG when unseeded: ciphertext a-values are published.
         rng = Drbg(self._seed)
-        k_int = rng.choice([-1, 1])
-        k = Poly.const(params, k_int)
+        packed = self.payload_slots > 1
+        ns = self.payload_slots
+        q = params.modulus
+        if packed:
+            k_int = None
+            k_coeffs = [rng.choice([-1, 0, 1]) for _ in range(ns)]
+            if all(c == 0 for c in k_coeffs):
+                k_coeffs[0] = 1  # a zero key would publish the seed bits
+            k_modq = [c % q for c in k_coeffs]
+            k = Poly.from_int_coeffs(params, embed_coeffs(params, k_modq, ns))
+        else:
+            k_int = rng.choice([-1, 1])
+            k = Poly.const(params, k_int)
         pre_out = self.injector.preprocess(d, k)
 
         num_outputs = self._probe_num_outputs(builder)
@@ -350,8 +437,18 @@ class DiamondIO:
 
         # unit ciphertext (absolute-channel push of builder outputs): a valid
         # Enc_{(-k,1)}(1) whose decrypt constants the circuit consumes
-        unit_ct = plain_native_encrypt(params, k_int, 1, rng, 2, self.error_sigma)
-        unit_consts = decrypt_constants(params, unit_ct, 2)
+        if packed:
+            unit_ct = plain_native_encrypt_poly(
+                params, k_modq, 1, rng, 2, self.error_sigma
+            )
+            top_u, bottom_u = decrypt_constants_poly(params, unit_ct, 2)
+            unit_consts = (
+                tuple(embed_coeffs(params, top_u, ns)),
+                tuple(embed_coeffs(params, bottom_u, ns)),
+            )
+        else:
+            unit_ct = plain_native_encrypt(params, k_int, 1, rng, 2, self.error_sigma)
+            unit_consts = decrypt_constants(params, unit_ct, 2)
 
         # seed-bit encryption (diamond_io.rs:330-388)
         seed_cts = []
@@ -359,7 +456,14 @@ class DiamondIO:
         for _ in range(cfg.seed_bits):
             bit = rng.randrange(2)
             original_seed_bits.append(bit)
-            seed_cts.append(native_encrypt(prf.ctx, k_int, bit, rng, self.error_sigma))
+            if packed:
+                seed_cts.append(
+                    packed_native_encrypt(
+                        prf.ctx, k_modq, [bit] + [0] * (ns - 1), rng, self.error_sigma
+                    )
+                )
+            else:
+                seed_cts.append(native_encrypt(prf.ctx, k_int, bit, rng, self.error_sigma))
 
         pk_sampler = BGGPublicKeySampler(hash_key, self.secret_size)
         pubkeys = pk_sampler.sample(params, b"diamond_bgg", [True] * num_bits)
@@ -386,11 +490,18 @@ class DiamondIO:
             pk_eval = LWEBGGPubKeyPltEvaluator(hash_key, self._trap, lut_b, lut_trapdoor, d)
 
         # PRF mask pipeline over pubkey wires (rounds + rebase + refresh)
-        final_seed_pks, prf_debug = prf.compute_public_key_path(
-            lambda mid, m: self._write(d, mid, m),
-            pre_out, one_pubkey, k_pubkey, negk_pubkey, selector_pks, seed_cts,
-            k_int, rng, self.error_sigma, pk_eval,
-        )
+        if packed:
+            final_seed_pks, prf_debug = prf.compute_public_key_path_packed(
+                lambda mid, m: self._write(d, mid, m),
+                pre_out, one_pubkey, selector_pks, seed_cts,
+                k_modq, rng, self.error_sigma, pk_eval,
+            )
+        else:
+            final_seed_pks, prf_debug = prf.compute_public_key_path(
+                lambda mid, m: self._write(d, mid, m),
+                pre_out, one_pubkey, k_pubkey, negk_pubkey, selector_pks, seed_cts,
+                k_int, rng, self.error_sigma, pk_eval,
+            )
         prf_debug.original_seed_bits = original_seed_bits
 
         # final mask ciphertexts (debug replay mode: fresh valid encryptions)
@@ -398,7 +509,11 @@ class DiamondIO:
             bits_per_output = self._mask_bits_per_output()
             for _ in range(num_outputs):
                 prf_debug.final_mask_cts.append(
-                    prf._sample_debug_prg_cts(
+                    prf._sample_debug_prg_cts_packed(
+                        k_modq, bits_per_output, rng, self.error_sigma
+                    )
+                    if packed
+                    else prf._sample_debug_prg_cts(
                         k_int, bits_per_output, rng, self.error_sigma
                     )
                 )
@@ -407,17 +522,25 @@ class DiamondIO:
             prf, builder, unit_consts, num_outputs, prf_debug
         )
         circuit_inputs = list(input_pubkeys) + [k_pubkey]
-        if not cfg.debug_encrypt_random_prg_wires:
+        if packed and cfg.debug_encrypt_random_prg_wires:
+            # packed replay: mask ciphertext values enter as lifted vec wires
+            all_mask_cts = [ct for cts in prf_debug.final_mask_cts for ct in cts]
+            circuit_inputs += prf.lift_slot_values(
+                one_pubkey, prf._ct_slot_values(all_mask_cts)
+            )
+        elif not cfg.debug_encrypt_random_prg_wires:
             circuit_inputs += final_seed_pks
         with span("diamond_io.pk_circuit_eval", gates=circuit.num_gates(),
                   slots=self.num_slots):
             if self.num_slots > 1:
                 from ..lookup.vec_eval import SlotwisePltEvaluator
+                from ..slot_transfer import BGGVecSlotTransferEvaluator
 
                 result_pubkeys = self._unwrap_vec(circuit.eval(
                     params, self._wrap_vec([one_pubkey])[0],
                     self._wrap_vec(circuit_inputs),
                     plt_evaluator=SlotwisePltEvaluator(pk_eval),
+                    slot_transfer_evaluator=BGGVecSlotTransferEvaluator(),
                 ))
             else:
                 result_pubkeys = circuit.eval(
@@ -524,27 +647,42 @@ class DiamondIO:
             enc_eval = LWEBGGEncodingPltEvaluator(obf.hash_key, d, c_b)
 
         prf = self._prf_pipeline()
-        final_seed_encs = prf.compute_seed_encoding_path(
-            lambda mid: self._read(d, mid),
-            states[0], one_encoding, k_encoding, negk_encoding, selector_encs,
-            digits, obf.seed_cts, obf.prf_debug, enc_eval,
-        )
+        packed = self.payload_slots > 1
+        if packed:
+            final_seed_encs = prf.compute_seed_encoding_path_packed(
+                lambda mid: self._read(d, mid),
+                states[0], one_encoding, selector_encs, digits,
+                obf.seed_cts, obf.prf_debug, enc_eval,
+            )
+        else:
+            final_seed_encs = prf.compute_seed_encoding_path(
+                lambda mid: self._read(d, mid),
+                states[0], one_encoding, k_encoding, negk_encoding, selector_encs,
+                digits, obf.seed_cts, obf.prf_debug, enc_eval,
+            )
 
         circuit = self._build_wrapped_circuit(
             prf, builder, obf.unit_ct_consts, obf.num_outputs, obf.prf_debug
         )
         circuit_inputs = input_encodings + [k_encoding]
-        if not cfg.debug_encrypt_random_prg_wires:
+        if packed and cfg.debug_encrypt_random_prg_wires:
+            all_mask_cts = [ct for cts in obf.prf_debug.final_mask_cts for ct in cts]
+            circuit_inputs += prf.lift_slot_values(
+                one_encoding, prf._ct_slot_values(all_mask_cts)
+            )
+        elif not cfg.debug_encrypt_random_prg_wires:
             circuit_inputs += final_seed_encs
         with span("diamond_io.enc_circuit_eval", gates=circuit.num_gates(),
                   slots=self.num_slots):
             if self.num_slots > 1:
                 from ..lookup.vec_eval import SlotwisePltEvaluator
+                from ..slot_transfer import BGGVecSlotTransferEvaluator
 
                 result = self._unwrap_vec(circuit.eval(
                     params, self._wrap_vec([one_encoding])[0],
                     self._wrap_vec(circuit_inputs),
                     plt_evaluator=SlotwisePltEvaluator(enc_eval),
+                    slot_transfer_evaluator=BGGVecSlotTransferEvaluator(),
                 ))
             else:
                 result = circuit.eval(

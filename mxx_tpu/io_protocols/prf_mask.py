@@ -82,7 +82,7 @@ class PrfDebugArtifacts:
 class PrfMaskPipeline:
     def __init__(self, params, config: PrfConfig, hash_key: bytes,
                  trap_sampler, input_count: int, batch_bits: int,
-                 secret_size: int = 1):
+                 secret_size: int = 1, num_slots: int = 1):
         self.params = params
         self.cfg = config
         self.hash_key = hash_key
@@ -91,6 +91,11 @@ class PrfMaskPipeline:
         self.batch_bits = batch_bits
         self.branch_count = 1 << batch_bits
         self.d = secret_size
+        # num_slots > 1 = PACKED payload mode: the GSW key is a ternary ring
+        # poly over R' = Z_Q[X']/(X'^ns + 1), ciphertext entries are R'
+        # elements riding vec-wire slots (coefficient per slot), and seed
+        # evolution runs over BGG vec wires (reference diamond_io.rs:276-310)
+        self.num_slots = num_slots
         # the context circuit only hosts the shared LUT registry
         self.ctx = RingGswContext(
             PolyCircuit(), params, config.p_moduli_bits, config.max_unreduced_muls
@@ -181,6 +186,68 @@ class PrfMaskPipeline:
 
     def lift_values(self, one_wire, values: list[int]):
         return lift_constants_batched(self.params, one_wire, values)
+
+    # ------------------------------------------------------- packed payload
+
+    def _sample_debug_prg_cts_packed(self, k_coeffs: list[int], count: int,
+                                     rng, error_sigma: float):
+        """Packed-mode replay: fresh valid PACKED encryptions of random bits
+        under the ternary ring-poly key."""
+        from ..gadgets.fhe.packed_ring_gsw import native_encrypt_poly
+
+        ns = self.num_slots
+        cts = []
+        for _ in range(count):
+            bit = rng.randrange(2)
+            cts.append(
+                native_encrypt_poly(
+                    self.ctx, k_coeffs, [bit] + [0] * (ns - 1), rng, error_sigma
+                )
+            )
+        return cts
+
+    def _ct_slot_values(self, cts) -> list[list[int]]:
+        """Per-wire slot-value lists for packed native ciphertexts."""
+        from ..gadgets.fhe.packed_ring_gsw import packed_input_values
+
+        out: list[list[int]] = []
+        for ct in cts:
+            out.extend(packed_input_values(self.ctx, ct))
+        return out
+
+    def lift_slot_values(self, one_wire, slot_values: list[list[int]]):
+        """Lift per-wire slot-value lists onto BGG VEC wires: slot s of wire
+        w is one_wire.large_scalar_mul(slot_values[w][s]) (reference
+        diamond_io.rs:330-388 slot-wise lift), batched over (wire, slot)."""
+        from ..bgg.vec import BGGEncodingVec, BGGPublicKeyVec
+
+        ns = self.num_slots
+        flat = [v for w in slot_values for v in w]
+        lifted = lift_constants_batched(self.params, one_wire, flat)
+        ctor = BGGEncodingVec.new if isinstance(one_wire, BggEncoding) else BGGPublicKeyVec.new
+        return [
+            ctor(lifted[w * ns : (w + 1) * ns]) for w in range(len(slot_values))
+        ]
+
+    def _common_rebase_pk_slot(self, round_idx: int, wire_idx: int, slot: int,
+                               target_cols: int) -> PolyMatrix:
+        tag = (
+            b"DiamondIOPrfCommonRebaseSlot/v1"
+            + round_idx.to_bytes(8, "little")
+            + wire_idx.to_bytes(8, "little")
+            + slot.to_bytes(8, "little")
+        )
+        return self._hash.sample_hash(
+            self.params, self.hash_key, tag, self.d, target_cols, FinRingDist()
+        )
+
+    @staticmethod
+    def rebase_preimage_id_slot(round_idx: int, branch: int, wire_idx: int,
+                                slot: int) -> str:
+        return (
+            f"prf_round_{round_idx}_branch_{branch}_wire_{wire_idx}"
+            f"_slot_{slot}_rebase_preimage"
+        )
 
     def _refresh_material(self, k_int: int, rng, error_sigma: float
                           ) -> RefreshMaterialCts:
@@ -414,6 +481,198 @@ class PrfMaskPipeline:
                             plt_evaluator,
                         )
                     )
+                seed_wires = next_wires
+
+        return seed_wires
+
+    # ----------------------------------------- packed payload: round paths
+
+    def _eval_prg_round_packed(self, round_idx, one_vec, seed_vec_wires,
+                               plt_evaluator):
+        """Packed mode: Goldreich PRG over PACKED Ring-GSW ciphertext vec
+        wires (external products via nested negacyclic convs), all branches."""
+        from ..gadgets.fhe.packed_ring_gsw import PackedRingGswCiphertext
+        from ..lookup.vec_eval import SlotwisePltEvaluator
+        from ..slot_transfer import BGGVecSlotTransferEvaluator
+
+        out_bits = self.cfg.seed_bits * self.branch_count
+        circuit = self.ctx.fresh_circuit()
+        seeds = [
+            PackedRingGswCiphertext.input(self.ctx, circuit, self.num_slots)
+            for _ in range(self.cfg.seed_bits)
+        ]
+        prg = GoldreichFhePrg.setup(
+            self.cfg.seed_bits, out_bits, self.graph_seed_for_round(round_idx)
+        )
+        outs = prg.evaluate(seeds, circuit)
+        flat = []
+        for ct in outs:
+            flat.extend(ct.flatten())
+        circuit.output(flat)
+        results = circuit.eval(
+            self.params, one_vec, seed_vec_wires,
+            plt_evaluator=SlotwisePltEvaluator(plt_evaluator),
+            slot_transfer_evaluator=BGGVecSlotTransferEvaluator(),
+        )
+        per_ct = self.wires_per_ct
+        branches = []
+        for b in range(self.branch_count):
+            start = b * self.cfg.seed_bits * per_ct
+            branches.append([
+                results[start + i * per_ct : start + (i + 1) * per_ct]
+                for i in range(self.cfg.seed_bits)
+            ])
+        return branches
+
+    def compute_public_key_path_packed(self, write_matrix, preprocess_out,
+                                       one_pk, selector_pks, seed_cts,
+                                       k_coeffs: list[int], rng,
+                                       error_sigma: float, plt_evaluator):
+        """Packed-payload pubkey path: per-round PRG over packed vec wires +
+        per-slot branch-rebase preimages. Deviation (documented): the
+        per-round noise refresh is NOT applied to packed wires yet — the
+        rebase alone re-bases onto branch-independent hash pubkeys, so
+        correctness holds with additive noise growth per round (packed
+        NoiseRefresherNaiveVec is the remaining depth item). Returns (final
+        seed vec wires, debug artifacts)."""
+        from ..bgg.vec import BGGPublicKeyVec
+
+        params = self.params
+        cfg = self.cfg
+        ns = self.num_slots
+        debug = PrfDebugArtifacts()
+        seed_wires = self.lift_slot_values(one_pk, self._ct_slot_values(seed_cts))
+        td0, b0 = preprocess_out.final_checkpoint(0)
+
+        for round_idx in range(self.input_count):
+            with span("prf_pipeline.pk_round_packed", round_idx=round_idx):
+                selector_pk = selector_pks[round_idx]
+                if cfg.debug_encrypt_random_prg_wires:
+                    round_cts = [
+                        self._sample_debug_prg_cts_packed(
+                            k_coeffs, cfg.seed_bits, rng, error_sigma
+                        )
+                        for _ in range(self.branch_count)
+                    ]
+                    debug.prg_cts.append(round_cts)
+                    prg_wires = [
+                        self.lift_slot_values(
+                            one_pk, self._ct_slot_values(branch_cts)
+                        )
+                        for branch_cts in round_cts
+                    ]
+                else:
+                    assert cfg.refresh_wire_limit is None, (
+                        "real PRG mode must rebase every seed wire"
+                    )
+                    prg_wires = [
+                        [w for chunk in branch for w in chunk]
+                        for branch in self._eval_prg_round_packed(
+                            round_idx,
+                            BGGPublicKeyVec.new([one_pk] * ns),
+                            seed_wires, plt_evaluator,
+                        )
+                    ]
+
+                wire_count = len(prg_wires[0])
+                limit = min(cfg.refresh_wire_limit or wire_count, wire_count)
+
+                next_seed_wires = None
+                for branch in range(self.branch_count):
+                    branch_sub = selector_pk - one_pk.small_scalar_mul(
+                        params, [branch]
+                    )
+                    branch_next = []
+                    for wire_idx in range(limit):
+                        prg_vec = prg_wires[branch][wire_idx]
+                        cols = prg_vec.keys[0].matrix.ncol
+                        mask = self._branch_mask_matrix(
+                            round_idx, branch, wire_idx, cols
+                        )
+                        masked_sub = branch_sub.matrix_mul(params, mask)
+                        slot_keys = []
+                        for slot in range(ns):
+                            masked = prg_vec.keys[slot] + masked_sub
+                            common = self._common_rebase_pk_slot(
+                                round_idx, wire_idx, slot, cols
+                            )
+                            target = (common - masked.matrix).concat_rows(
+                                [PolyMatrix.zero(params, self.d, cols)]
+                            )
+                            write_matrix(
+                                self.rebase_preimage_id_slot(
+                                    round_idx, branch, wire_idx, slot
+                                ),
+                                self.trap.preimage(params, td0, b0, target),
+                            )
+                            slot_keys.append(BggPublicKey(common, True))
+                        branch_next.append(BGGPublicKeyVec.new(slot_keys))
+                    if next_seed_wires is None:
+                        next_seed_wires = branch_next
+                seed_wires = next_seed_wires
+
+        return seed_wires, debug
+
+    def compute_seed_encoding_path_packed(self, read_matrix, state0, one_enc,
+                                          selector_encs, digits, seed_cts,
+                                          debug: PrfDebugArtifacts,
+                                          plt_evaluator):
+        """Packed-payload encoding path for the runtime digits; reads the
+        per-slot rebase preimages. Returns the final seed vec encodings."""
+        from ..bgg.vec import BGGEncodingVec
+
+        params = self.params
+        cfg = self.cfg
+        ns = self.num_slots
+        seed_wires = self.lift_slot_values(one_enc, self._ct_slot_values(seed_cts))
+
+        for round_idx in range(self.input_count):
+            with span("prf_pipeline.enc_round_packed", round_idx=round_idx):
+                branch = digits[round_idx]
+                assert branch < self.branch_count
+                selector_enc = selector_encs[round_idx]
+                if cfg.debug_encrypt_random_prg_wires:
+                    branch_cts = debug.prg_cts[round_idx][branch]
+                    wire_vecs = self.lift_slot_values(
+                        one_enc, self._ct_slot_values(branch_cts)
+                    )
+                else:
+                    all_branches = self._eval_prg_round_packed(
+                        round_idx, BGGEncodingVec.new([one_enc] * ns),
+                        seed_wires, plt_evaluator,
+                    )
+                    wire_vecs = [w for chunk in all_branches[branch] for w in chunk]
+
+                wire_count = len(wire_vecs)
+                limit = min(cfg.refresh_wire_limit or wire_count, wire_count)
+                branch_sub = selector_enc - one_enc.small_scalar_mul(
+                    params, [branch]
+                )
+                next_wires = []
+                for wire_idx in range(limit):
+                    prg_vec = wire_vecs[wire_idx]
+                    cols = prg_vec.encodings[0].vector.ncol
+                    mask = self._branch_mask_matrix(round_idx, branch, wire_idx, cols)
+                    masked_sub = branch_sub.matrix_mul(params, mask)
+                    slot_encs = []
+                    for slot in range(ns):
+                        masked = prg_vec.encodings[slot] + masked_sub
+                        common = self._common_rebase_pk_slot(
+                            round_idx, wire_idx, slot, cols
+                        )
+                        pre = read_matrix(
+                            self.rebase_preimage_id_slot(
+                                round_idx, branch, wire_idx, slot
+                            )
+                        )
+                        slot_encs.append(
+                            BggEncoding(
+                                state0 @ pre + masked.vector,
+                                BggPublicKey(common, True),
+                                prg_vec.encodings[slot].plaintext,
+                            )
+                        )
+                    next_wires.append(BGGEncodingVec.new(slot_encs))
                 seed_wires = next_wires
 
         return seed_wires

@@ -114,3 +114,36 @@ def test_diamond_io_d2_vec_slots_e2e(tmp_path):
     for bits in ([0, 1], [1, 0]):
         out = dio.eval(tmp_path, obf, xor_and_builder, bits)
         assert out == [bits[0] ^ bits[1], bits[0] & bits[1]], (bits, out)
+
+
+def _make_packed_dio(params, input_count, batch_bits, seed, payload_slots):
+    return DiamondIO(
+        params, input_count=input_count, batch_bits=batch_bits, seed=seed,
+        prf_config=_ci_prf_config(), payload_slots=payload_slots,
+        pk_plt_evaluator_factory=lambda s, d, hk, pre: DebugBGGPubKeyPltEvaluator(hk),
+        enc_plt_evaluator_factory=lambda s, d, obf, states, digits:
+            DebugBGGEncodingPltEvaluator(
+                obf.hash_key, s.injector.debug_final_secret_matrix(d, digits)
+            ),
+    )
+
+
+def test_diamond_io_packed_payload_e2e(tmp_path):
+    """Diamond iO with the reference's TERNARY RING-POLY payload k
+    (diamond_io.rs:278): seed/mask ciphertexts are PACKED Ring-GSW over
+    R' = Z_Q[X']/(X'^4 + 1) riding vec-wire slots, the key multiplication
+    rides the phi-embedded k wire (one plain mul), and the per-round pipeline
+    rebases every slot through stored preimages. Debug-replay mode."""
+    params = RingParams.new(8, 3, 10, 10)
+    dio = _make_packed_dio(params, input_count=2, batch_bits=1, seed=91,
+                           payload_slots=4)
+    obf = dio.obfuscate(tmp_path, xor_and_builder)
+    assert obf.num_outputs == 2
+    # packed payload: unit constants are R coefficient lists (phi-embedded)
+    assert len(obf.unit_ct_consts[0]) == params.n
+    # packed seed ciphertexts: entries are R' elements (coefficient lists)
+    assert len(obf.seed_cts[0][0][0]) == 4
+
+    for bits in ([0, 1], [1, 1]):
+        out = dio.eval(tmp_path, obf, xor_and_builder, bits)
+        assert out == [bits[0] ^ bits[1], bits[0] & bits[1]], (bits, out)

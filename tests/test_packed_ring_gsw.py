@@ -146,3 +146,77 @@ def test_packed_gsw_goldreich_prg():
         int(o.slots[0].const_coeff()) // (q // t_mod) for o in outs
     ]
     assert got_bits == list(want_bits), (got_bits, want_bits)
+
+
+def test_packed_bit_decomposed_decrypt_embedded():
+    """Subring-embedded packed decrypt (phi: X' -> X^{n/ns}): the batch
+    decrypt of a bit-decomposed PACKED mask under a ternary RING-POLY key,
+    with the key multiplication riding ONE plain mul against the phi(-k)
+    wire — the Diamond poly-payload mask channel's decrypt."""
+    from mxx_tpu.decoder.mask_circuit import mask_plaintext_moduli_from_full_modulus
+    from mxx_tpu.gadgets.fhe.packed_ring_gsw import (
+        embed_coeffs,
+        native_combined_halves_poly,
+        packed_decrypt_bit_decomposed_parts,
+    )
+    from mxx_tpu.ring.poly import Poly
+
+    params = RingParams.new(8, 1, 10, 10)
+    ns = 4  # stride 2
+    circuit = PolyCircuit()
+    ctx = RingGswContext(circuit, params, 5, 2)
+    q = ctx.q_big
+    rng = Drbg(31)
+    k_rp = [1, q - 1, 0, 1]  # ternary key over R'
+    coeff_bits = 2
+    moduli = mask_plaintext_moduli_from_full_modulus(q, coeff_bits)
+    mask = [3, 1, 0, 2]  # per-R'-coefficient mask values < 2^coeff_bits
+
+    cts = []
+    for i in range(ns):
+        for b in range(coeff_bits):
+            bit = (mask[i] >> b) & 1
+            cts.append(native_encrypt_poly(ctx, k_rp, [bit] + [0] * (ns - 1), rng))
+
+    w_cts = [PackedRingGswCiphertext.input(ctx, circuit, ns) for _ in cts]
+    negk = circuit.input(1)[0]
+    sd, pb = packed_decrypt_bit_decomposed_parts(circuit, params, w_cts, negk, moduli, ns)
+    circuit.output([circuit.add_gate(sd, pb)])
+
+    neg_k = [(-c) % q for c in k_rp]
+    negk_poly = Poly.from_int_coeffs(params, embed_coeffs(params, neg_k, ns))
+    vec_inputs = []
+    for ct in cts:
+        vec_inputs.extend(packed_input_values(ctx, ct))
+    one = PolyVec.const(params, [1] * ns)
+    outs = circuit.eval(
+        params, one,
+        [PolyVec.const(params, v) for v in vec_inputs]
+        + [PolyVec.new([negk_poly] * ns)],
+        plt_evaluator=PolyVecPltEvaluator(),
+        slot_transfer_evaluator=PolyVecSlotTransferEvaluator(),
+    )
+    got = [int(c) for c in outs[0].slots[0].coeffs()]
+
+    # host oracle: total_R' = sum_b (-k (x) TOP_b + BOT_b) with TOP_b/BOT_b
+    # monomial-packed over R' coefficients; expected wire = phi(total_R')
+    total = [0] * ns
+    for b in range(coeff_bits):
+        top_b = [0] * ns
+        bot_b = [0] * ns
+        for i in range(ns):
+            t, bo = native_combined_halves_poly(ctx, cts[i * coeff_bits + b], moduli[b])
+            mono = [0] * ns
+            mono[i] = 1
+            t = ring_mul(mono, t, q)
+            bo = ring_mul(mono, bo, q)
+            top_b = [(x + y) % q for x, y in zip(top_b, t)]
+            bot_b = [(x + y) % q for x, y in zip(bot_b, bo)]
+        sd_b = ring_mul(neg_k, top_b, q)
+        total = [(x + s + y) % q for x, s, y in zip(total, sd_b, bot_b)]
+    want = embed_coeffs(params, total, ns)
+    assert got == want, (got, want)
+
+    # noiseless: R' coefficient 0 recovers the mask value sum_b (q>>b scaled)
+    want_val = sum((q // moduli[b]) * ((mask[0] >> b) & 1) for b in range(coeff_bits))
+    assert total[0] == want_val % q
