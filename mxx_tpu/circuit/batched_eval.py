@@ -29,6 +29,7 @@ from .gate import (
     INPUT,
     LARGE_SCALAR_MUL,
     MUL,
+    PUB_LUT,
     SMALL_SCALAR_MUL,
     SUB,
 )
@@ -185,25 +186,43 @@ def _wire_sig(circuit, wires, g):
         if isinstance(w, BggEncoding):
             shapes.append(w.pubkey.matrix.shape)
     if g.kind == MUL:
-        left = ins[0]
-        if not isinstance(left, BggEncoding) or left.plaintext is None:
+        left, right = ins[0], ins[1]
+        if type(left) is not type(right):
             return None
+        if isinstance(left, BggEncoding):
+            if left.plaintext is None:
+                return None
+        elif not isinstance(left, BggPublicKey):
+            return None  # pk x pk batches via the same A1 @ G^{-1}(A2) kernel
     return (g.kind, kinds, tuple(shapes))
 
 
 def _stack(mats, params):
     """Row-concatenate one-row (or equal-shape) PolyMatrix EVAL datas along a
-    fresh batch axis folded into rows: [L, B*r, c, n]."""
+    fresh batch axis folded into rows: [L, B*r, c, n]. Host numpy concatenate
+    when every operand is host-resident (numpy views from a previous unstack)
+    — avoids one eager device op per operand."""
+    import numpy as np
+
     datas = [m.to_eval().data for m in mats]
+    if all(isinstance(d, np.ndarray) for d in datas):
+        return np.concatenate(datas, axis=1)
     return jnp.concatenate(datas, axis=1)
 
 
 def _unstack(params, data, count, rows):
+    """Split a batched result into per-gate matrices: ONE host fetch, then
+    zero-copy numpy views (previously an eager device slice per gate — the
+    dominant steady-state cost in LUT-heavy circuits, round-3 profile).
+    Downstream jitted ops accept numpy operands and re-upload on use."""
+    import numpy as np
+
     from ..matrix import PolyMatrix
     from ..ring.poly import EVAL
 
+    host = np.asarray(data)
     return [
-        PolyMatrix(data[:, i * rows : (i + 1) * rows], EVAL, params)
+        PolyMatrix(host[:, i * rows : (i + 1) * rows], EVAL, params)
         for i in range(count)
     ]
 
@@ -313,6 +332,13 @@ def _vmapped_matmul(params, a_data, b_data):
     return fn(a_data, b_data, jt.moduli, jt.qinv_neg, jt.combine_pows_mont, jt.sign_corr_pows)
 
 
+def _np_views_b(data):
+    """One host fetch of a [B, ...] batched result; per-gate numpy views."""
+    import numpy as np
+
+    return np.asarray(data)
+
+
 def _batched_decompose(params, mats):
     """Decompose B equal-shape matrices in one program and NTT to EVAL form:
     returns [B, L, r*k, c, n] ready for the exact matmul."""
@@ -358,7 +384,7 @@ def _exec_mul(circuit, params, gates, wires):
     dec = _batched_decompose(params, pk_b)  # [B, L, m, c, n]
     pk_a = [(w.pubkey.matrix if enc_a else w.matrix) for w in ins_a]
     a_pk = _to_eval_stackb(params, pk_a)
-    out_pk = _vmapped_matmul(params, a_pk, dec)
+    out_pk = _np_views_b(_vmapped_matmul(params, a_pk, dec))
     jt = params.jt
     outs_pk = [
         PolyMatrix(out_pk[i], EVAL, params) for i in range(B)
@@ -371,7 +397,9 @@ def _exec_mul(circuit, params, gates, wires):
         rows = ins_b[0].vector.nrow
         x_rep = jnp.repeat(x_a, rows, axis=1)[:, :, None, :]
         second = ew_mul(b_vec, x_rep, jt.moduli, jt.qinv_neg, jt.r2)
-        first_flat = jnp.concatenate([first[i] for i in range(B)], axis=1)
+        # [B, L, r, c, n] -> [L, B*r, c, n] in one transpose+reshape
+        fB, fL, fr, fc, fn = first.shape
+        first_flat = jnp.transpose(first, (1, 0, 2, 3, 4)).reshape(fL, fB * fr, fc, fn)
         vec = ew_add(first_flat, second, jt.moduli)
         vecs = _unstack(params, vec, B, rows)
         outs = []
@@ -416,11 +444,11 @@ def _exec_large_scalar_mul(circuit, params, gates, wires, resolve):
     sg_mats = _unstack(params, sg, B, d)
     dec = _batched_decompose(params, sg_mats)  # [B, L, d*k, m, n]
     pk_in = _to_eval_stackb(params, [(w.pubkey.matrix if enc else w.matrix) for w in ins])
-    out_pk = _vmapped_matmul(params, pk_in, dec)
+    out_pk = _np_views_b(_vmapped_matmul(params, pk_in, dec))
     pks = [PolyMatrix(out_pk[i], EVAL, params) for i in range(B)]
     if enc:
         vec_in = _to_eval_stackb(params, [w.vector for w in ins])
-        out_vec = _vmapped_matmul(params, vec_in, dec)
+        out_vec = _np_views_b(_vmapped_matmul(params, vec_in, dec))
         outs = []
         for i in range(n_real):
             w = ins[i]
@@ -485,9 +513,12 @@ def eval_batched(circuit, params, one, inputs, plt_evaluator=None,
             param_bindings, call_cache, summed_cache, eval_sub,
         )
 
+    plt_batch = getattr(plt_evaluator, "public_lookup_batch", None)
+
     for level in circuit.compute_levels():
         # group batchable gates by signature
         groups: dict = {}
+        lut_gates = []
         singles = []
         for gid in level:
             g = circuit.gates[gid]
@@ -496,7 +527,30 @@ def eval_batched(circuit, params, one, inputs, plt_evaluator=None,
                 if sig is not None:
                     groups.setdefault(sig, []).append(g)
                     continue
+            elif g.kind == PUB_LUT and plt_batch is not None and _is_bgg(wires[g.inputs[0]]):
+                lut_gates.append(g)
+                continue
             singles.append(g)
+        if len(lut_gates) >= 2:
+            # group by input wire type/shape: the batch kernels stack operands
+            lut_groups: dict = {}
+            for g in lut_gates:
+                w = wires[g.inputs[0]]
+                m = w.vector if hasattr(w, "vector") else w.matrix
+                lut_groups.setdefault((type(w).__name__, m.shape), []).append(g)
+            for group in lut_groups.values():
+                if len(group) < 2:
+                    singles.extend(group)
+                    continue
+                items = [
+                    (circuit.luts[g.payload], wires[g.inputs[0]], g.gate_id, g.payload)
+                    for g in group
+                ]
+                for g, out in zip(group, plt_batch(params, items)):
+                    wires[g.gate_id] = out
+                    consume(g)
+        else:
+            singles.extend(lut_gates)
         for sig, gates in groups.items():
             if len(gates) < MIN_BATCH:
                 singles.extend(gates)

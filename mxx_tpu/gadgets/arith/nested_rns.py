@@ -64,6 +64,40 @@ def sample_crt_primes(max_bit_width: int, q_max: int, max_unreduced_muls: int) -
     )
 
 
+def sample_crt_primes_wide(max_bit_width: int, q_max: int,
+                           max_unreduced_muls: int) -> list[int]:
+    """Pairwise-coprime moduli chosen DESCENDING from 2^max_bit_width - 1
+    until the (headroom-padded) unreduced-multiplication budget holds.
+
+    Deviation from the reference (encoding.rs:38-72 picks the smallest
+    moduli ascending): larger moduli reach the budget with fewer basis
+    elements, and the basis size k multiplies every nested-RNS wire count
+    and enters GSW external products as ~k^2(k+1) gate cost — on this
+    build's batched evaluator a k=3 basis makes an in-circuit GSW mul ~6x
+    cheaper than the reference-shaped k=6+ basis. The cost is larger LUT
+    domains (p_max^2 entries), so "wide" suits secret-oracle/plaintext LUT
+    evaluation (tables are free) while "small" suits production LWE/GGH15
+    lookup where offline cost is per table entry."""
+    results: list[int] = []
+    total = 0
+    prod = 1
+    for cand in range((1 << max_bit_width) - 1, 2, -1):
+        if all(_gcd(cand, c) == 1 for c in results):
+            results.append(cand)
+            total += cand
+            prod *= cand
+            # factor 4 (vs the ctor's factor-2 headroom): sub() of two
+            # full_reduced values needs 2*(sum_p+k)*q + q < P/2, which the
+            # small basis covers by overshoot but a tight wide basis must
+            # budget explicitly
+            if prod > 4 * ((total + len(results) + 1) * q_max) ** max_unreduced_muls:
+                return results
+    raise ValueError(
+        f"not enough coprime wide p-moduli below 2^{max_bit_width} for "
+        f"q_max={q_max}, muls={max_unreduced_muls}"
+    )
+
+
 def _round_div(a: int, b: int) -> int:
     return (a + b // 2) // b
 
@@ -72,14 +106,20 @@ class NestedRnsPolyContext:
     """Precomputed constants + registered LUT ids for one configuration."""
 
     def __init__(self, circuit: PolyCircuit, params, p_moduli_bits: int,
-                 max_unreduced_muls: int = DEFAULT_MAX_UNREDUCED_MULS, scale: int | None = None):
+                 max_unreduced_muls: int = DEFAULT_MAX_UNREDUCED_MULS, scale: int | None = None,
+                 p_basis: str = "small"):
         self.params = params
         self.p_moduli_bits = p_moduli_bits
         self.max_unreduced_muls = max_unreduced_muls
+        self.p_basis = p_basis
         self.q_moduli = list(params.moduli)
         self.q_moduli_depth = len(self.q_moduli)
         q_max = max(self.q_moduli)
-        self.p_moduli = sample_crt_primes(p_moduli_bits, q_max, max_unreduced_muls)
+        if p_basis == "wide":
+            self.p_moduli = sample_crt_primes_wide(p_moduli_bits, q_max, max_unreduced_muls)
+        else:
+            assert p_basis == "small", p_basis
+            self.p_moduli = sample_crt_primes(p_moduli_bits, q_max, max_unreduced_muls)
         # The reference budget uses centered residues (bound/2); our residues
         # are canonical non-negative, so extend the basis until
         # P > ((sum p_i + k + 1) * q_max)^muls holds for the looser bound.

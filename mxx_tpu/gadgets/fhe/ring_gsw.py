@@ -31,9 +31,10 @@ from ..arith.nested_rns import (
 
 class RingGswContext:
     def __init__(self, circuit: PolyCircuit, params, p_moduli_bits: int,
-                 max_unreduced_muls: int = 2):
+                 max_unreduced_muls: int = 2, p_basis: str = "small"):
         self.params = params
-        self.nested = NestedRnsPolyContext(circuit, params, p_moduli_bits, max_unreduced_muls)
+        self.nested = NestedRnsPolyContext(circuit, params, p_moduli_bits,
+                                           max_unreduced_muls, p_basis=p_basis)
         self.q_big = math.prod(self.nested.q_moduli)
 
     def fresh_circuit(self) -> PolyCircuit:

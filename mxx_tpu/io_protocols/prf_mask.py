@@ -63,6 +63,11 @@ class PrfConfig:
     goldreich_graph_seed: bytes = b"\x11" * 32
     noise_refresh_v_bits: int = 1
     noise_refresh_cbd_n: int = 1
+    # nested-RNS p-basis strategy: "small" = reference-shaped ascending small
+    # moduli (small LUT tables, more wires — suits production LWE lookup);
+    # "wide" = few large moduli (≈6x cheaper GSW muls — suits real-mode PRG
+    # evaluation where LUT tables are free). See nested_rns.sample_crt_primes_wide.
+    p_basis: str = "small"
     debug_encrypt_random_prg_wires: bool = False
     debug_reuse_single_material: bool = False
     refresh_wire_limit: int | None = None
@@ -74,7 +79,7 @@ class PrfDebugArtifacts:
     debug_prg_ciphertexts / original_seed_bits, diamond_io.rs:122-134)."""
 
     prg_cts: list = field(default_factory=list)  # [round][branch][seed_bit]
-    refresh_material: list = field(default_factory=list)  # [round][branch][wire]
+    refresh_material: list = field(default_factory=list)  # [round][branch] (shared across wires)
     final_mask_cts: list = field(default_factory=list)  # [output][coeff*bits]
     original_seed_bits: list = field(default_factory=list)
 
@@ -98,7 +103,8 @@ class PrfMaskPipeline:
         self.num_slots = num_slots
         # the context circuit only hosts the shared LUT registry
         self.ctx = RingGswContext(
-            PolyCircuit(), params, config.p_moduli_bits, config.max_unreduced_muls
+            PolyCircuit(), params, config.p_moduli_bits, config.max_unreduced_muls,
+            p_basis=config.p_basis,
         )
         self.refresher = NoiseRefresherNaiveVec(
             params, self.ctx, config.noise_refresh_v_bits, hash_key,
@@ -144,6 +150,16 @@ class PrfMaskPipeline:
 
     def refresh_id(self, round_idx: int, wire_idx: int) -> bytes:
         return b"prf_r%d_w%d" % (round_idx, wire_idx)
+
+    def material_graph_seed(self, round_idx: int, branch: int) -> bytes:
+        """Per-(round, branch) refresh-material graph seed (reference
+        prf_noise_refresh_material_graph_seed, utils.rs:428-451)."""
+        return hashlib.sha256(
+            b"DiamondIOPrfRefreshMaterial/v1"
+            + self.cfg.goldreich_graph_seed
+            + round_idx.to_bytes(8, "little")
+            + branch.to_bytes(8, "little")
+        ).digest()
 
     @staticmethod
     def rebase_preimage_id(round_idx: int, branch: int, wire_idx: int) -> str:
@@ -321,15 +337,21 @@ class PrfMaskPipeline:
                 limit = cfg.refresh_wire_limit or wire_count
                 limit = min(limit, wire_count)
 
-                # branch rebase preimages + per-branch refresh artifacts
+                # branch rebase preimages + per-branch SHARED refresh material
+                # (the reference evaluates ONE material circuit per (round,
+                # branch) and shares its decoded terms across every refreshed
+                # wire — naive_vec.rs preprocess_many; round 2 resampled
+                # material per wire, which both deviated and made real mode
+                # computationally unreachable)
                 round_material = []
                 next_seed_wires = None
                 for branch in range(self.branch_count):
                     branch_sub = selector_pk - one_pk.small_scalar_mul(
                         params, [branch]
                     )
-                    branch_material = []
-                    branch_next = []
+                    # per-wire rebase targets, batched into one preimage pass
+                    commons = []
+                    rebase_targets = []
                     for wire_idx in range(limit):
                         prg_wire = prg_wires[branch][wire_idx]
                         cols = prg_wire.matrix.ncol
@@ -338,36 +360,63 @@ class PrfMaskPipeline:
                         )
                         masked = prg_wire + branch_sub.matrix_mul(params, mask)
                         common = self._common_rebase_pk(round_idx, wire_idx, cols)
-                        target = (common - masked.matrix).concat_rows(
-                            [PolyMatrix.zero(params, self.d, cols)]
+                        commons.append(common)
+                        rebase_targets.append(
+                            (common - masked.matrix).concat_rows(
+                                [PolyMatrix.zero(params, self.d, cols)]
+                            )
                         )
-                        pre = self.trap.preimage(params, td0, b0, target)
+                    rebase_pres = self.trap.preimage_batched_chunked(
+                        params, td0, b0, rebase_targets
+                    )
+                    for wire_idx, pre in enumerate(rebase_pres):
                         write_matrix(
                             self.rebase_preimage_id(round_idx, branch, wire_idx), pre
                         )
-                        # refresh the rebased common wire
+                    # shared refresh terms for this (round, branch)
+                    if cfg.debug_encrypt_random_prg_wires:
                         material = self._refresh_material(k_int, rng, error_sigma)
-                        branch_material.append(material)
-                        a_prime_pk, refresh_keys = self.refresher.preprocess(
+                        round_material.append(material)
+                        terms = self.refresher.decoded_terms(
+                            one_pk, negk_pk, material, plt_evaluator,
+                            lambda w: w.matrix,
+                        )
+                    else:
+                        terms = self.refresher.decoded_terms_prg(
+                            one_pk, negk_pk, seed_wires,
+                            self.material_graph_seed(round_idx, branch),
+                            cfg.noise_refresh_cbd_n, plt_evaluator,
+                            lambda w: w.matrix,
+                        )
+                    branch_next = []
+                    refresh_targets = []
+                    refresh_ids = []
+                    for wire_idx in range(limit):
+                        a_prime_pk, refresh_keys = self.refresher.preprocess_from_decoded(
                             self.refresh_id(round_idx, wire_idx),
                             one_pk,
-                            BggPublicKey(common, True),
-                            negk_pk,
-                            material,
-                            plt_evaluator,
+                            BggPublicKey(commons[wire_idx], True),
+                            terms,
                         )
                         for crt_idx, t in enumerate(refresh_keys):
-                            dec_target = t.concat_rows(
-                                [PolyMatrix.zero(params, self.d, t.ncol)]
+                            refresh_targets.append(
+                                t.concat_rows(
+                                    [PolyMatrix.zero(params, self.d, t.ncol)]
+                                )
                             )
-                            write_matrix(
+                            refresh_ids.append(
                                 self.refresh_preimage_id(
                                     round_idx, branch, wire_idx, crt_idx
-                                ),
-                                self.trap.preimage(params, td0, b0, dec_target),
+                                )
                             )
                         branch_next.append(a_prime_pk)
-                    round_material.append(branch_material)
+                    for mid, pre in zip(
+                        refresh_ids,
+                        self.trap.preimage_batched_chunked(
+                            params, td0, b0, refresh_targets
+                        ),
+                    ):
+                        write_matrix(mid, pre)
                     if next_seed_wires is None:
                         next_seed_wires = branch_next
                     else:
@@ -381,36 +430,52 @@ class PrfMaskPipeline:
 
         return seed_wires, debug
 
-    def _eval_prg_round(self, round_idx, one_wire, seed_wires, plt_evaluator):
-        """Real mode: Goldreich PRG over Ring-GSW ciphertext wires, all
-        branches (bench-scale; the reference's GPU path)."""
+    def _eval_prg_round(self, round_idx, one_wire, seed_wires, plt_evaluator,
+                        only_branch: int | None = None):
+        """Real mode: Goldreich PRG over Ring-GSW ciphertext wires. Offline
+        evaluates every branch; online passes `only_branch` to evaluate just
+        the selected RANGE of the conceptual round graph (reference
+        build_goldreich_prg_range_circuit, utils.rs:747 / eval-side range)."""
         out_bits = self.cfg.seed_bits * self.branch_count
         circuit = self.ctx.fresh_circuit()
         seeds = [
             RingGswCiphertext.input(self.ctx, circuit)
             for _ in range(self.cfg.seed_bits)
         ]
-        prg = GoldreichFhePrg.setup(
-            self.cfg.seed_bits, out_bits, self.graph_seed_for_round(round_idx)
+        if only_branch is None:
+            range_start, range_len = 0, out_bits
+        else:
+            range_start = only_branch * self.cfg.seed_bits
+            range_len = self.cfg.seed_bits
+        prg = GoldreichFhePrg.setup_range(
+            self.cfg.seed_bits, out_bits, range_start, range_len,
+            self.graph_seed_for_round(round_idx),
         )
         outs = prg.evaluate(seeds, circuit)
         flat = []
         for ct in outs:
             flat.extend(ct.flatten())
         circuit.output(flat)
-        results = circuit.eval(
-            self.params, one_wire, seed_wires, plt_evaluator=plt_evaluator,
-            batched=True,
-        )
+        with span("prf_pipeline.prg_round_circuit", gates=circuit.num_gates(),
+                  round_idx=round_idx):
+            results = circuit.eval(
+                self.params, one_wire, seed_wires, plt_evaluator=plt_evaluator,
+                batched=True,
+            )
         per_ct = self.wires_per_ct
-        branches = []
-        for b in range(self.branch_count):
-            start = b * self.cfg.seed_bits * per_ct
-            branches.append([
+        branch_idxs = (
+            range(self.branch_count) if only_branch is None else [only_branch]
+        )
+        branches = {}
+        for pos, b in enumerate(branch_idxs):
+            start = pos * self.cfg.seed_bits * per_ct
+            branches[b] = [
                 results[start + i * per_ct : start + (i + 1) * per_ct]
                 for i in range(self.cfg.seed_bits)
-            ])
-        return branches
+            ]
+        if only_branch is not None:
+            return branches
+        return [branches[b] for b in range(self.branch_count)]
 
     # -------------------------------------------------------------- online
 
@@ -439,10 +504,10 @@ class PrfMaskPipeline:
                         for i in range(cfg.seed_bits)
                     ]
                 else:
-                    all_branches = self._eval_prg_round(
-                        round_idx, one_enc, seed_wires, plt_evaluator
-                    )
-                    wire_chunks = all_branches[branch]
+                    wire_chunks = self._eval_prg_round(
+                        round_idx, one_enc, seed_wires, plt_evaluator,
+                        only_branch=branch,
+                    )[branch]
 
                 flat_wires = [w for chunk in wire_chunks for w in chunk]
                 wire_count = len(flat_wires)
@@ -450,6 +515,20 @@ class PrfMaskPipeline:
                 branch_sub = selector_enc - one_enc.small_scalar_mul(
                     params, [branch]
                 )
+                # shared refresh terms for this round's selected branch
+                if cfg.debug_encrypt_random_prg_wires:
+                    material = debug.refresh_material[round_idx][branch]
+                    terms = self.refresher.decoded_terms(
+                        one_enc, negk_enc, material, plt_evaluator,
+                        lambda w: w.vector,
+                    )
+                else:
+                    terms = self.refresher.decoded_terms_prg(
+                        one_enc, negk_enc, seed_wires,
+                        self.material_graph_seed(round_idx, branch),
+                        cfg.noise_refresh_cbd_n, plt_evaluator,
+                        lambda w: w.vector,
+                    )
                 next_wires = []
                 for wire_idx in range(limit):
                     prg_wire = flat_wires[wire_idx]
@@ -465,7 +544,6 @@ class PrfMaskPipeline:
                         BggPublicKey(common, True),
                         prg_wire.plaintext,
                     )
-                    material = debug.refresh_material[round_idx][branch][wire_idx]
                     decoders = [
                         state0 @ read_matrix(
                             self.refresh_preimage_id(
@@ -475,10 +553,9 @@ class PrfMaskPipeline:
                         for crt_idx in range(params.crt_depth)
                     ]
                     next_wires.append(
-                        self.refresher.online_eval(
+                        self.refresher.online_eval_from_decoded(
                             self.refresh_id(round_idx, wire_idx),
-                            one_enc, rebased, negk_enc, material, decoders,
-                            plt_evaluator,
+                            one_enc, rebased, terms, decoders,
                         )
                     )
                 seed_wires = next_wires

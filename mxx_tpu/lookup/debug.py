@@ -27,7 +27,7 @@ from ..bgg import BggEncoding, BggPublicKey
 from ..matrix import PolyMatrix
 from ..ring.poly import Poly
 from ..sampler import Trapdoor
-from .lwe import derive_a_lt_matrix
+from .lwe import derive_a_lt_matrices_batch, derive_a_lt_matrix
 
 
 def debug_trapdoor_preimage(params, trapdoor: Trapdoor, target: PolyMatrix) -> PolyMatrix:
@@ -75,6 +75,16 @@ class DebugBGGPubKeyPltEvaluator:
         )
         return BggPublicKey(a_lt, True)
 
+    def public_lookup_batch(self, params, items) -> list[BggPublicKey]:
+        """Batched lookup: items = [(plt, input_pk, gate_id, lut_id)];
+        bit-identical to per-gate `public_lookup` (same A_LT streams)."""
+        d = items[0][1].matrix.nrow
+        assert all(it[1].matrix.nrow == d for it in items)
+        a_lts = derive_a_lt_matrices_batch(
+            params, d, self.hash_key, [it[2] for it in items]
+        )
+        return [BggPublicKey(a, True) for a in a_lts]
+
     def sample_aux_matrices(self, params):
         pass
 
@@ -103,3 +113,54 @@ class DebugBGGEncodingPltEvaluator:
         gadget = PolyMatrix.gadget_matrix(params, d)
         vector = self.secret_vec @ (a_lt - gadget.mul_poly_scalar(y_poly))
         return BggEncoding(vector, BggPublicKey(a_lt, True), y_poly)
+
+    def public_lookup_batch(self, params, items) -> list[BggEncoding]:
+        """Batched lookup: items = [(plt, input_enc, gate_id, lut_id)].
+        One device program for the A_LT hash batch, the G*y subtraction, and
+        the secret-row matmuls — bit-identical to per-gate `public_lookup`."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.elementwise import ew_mul, ew_sub
+        from ..ops.zq_matmul import zq_matmul
+        from ..ring.poly import EVAL
+
+        d = items[0][1].pubkey.matrix.nrow
+        ys = []
+        for plt, input_enc, gate_id, lut_id in items:
+            assert input_enc.plaintext is not None
+            z = int(input_enc.plaintext.const_coeff())
+            got = plt.get(params, z)
+            if got is None:
+                raise KeyError(f"{z} not found in LUT {lut_id} for gate {gate_id}")
+            ys.append(Poly.from_elem_to_constant(params, got[1]))
+        a_lts = derive_a_lt_matrices_batch(
+            params, d, self.hash_key, [it[2] for it in items]
+        )
+        B = len(items)
+        jt = params.jt
+        g_data = PolyMatrix.gadget_matrix(params, d).to_eval().data  # [L, d, m, n]
+        y_data = jnp.stack([y.to_eval().data for y in ys], axis=1)  # [L, B, n]
+        gy = ew_mul(
+            jnp.tile(g_data, (1, B, 1, 1)),
+            jnp.repeat(y_data, d, axis=1)[:, :, None, :],
+            jt.moduli, jt.qinv_neg, jt.r2,
+        )  # [L, B*d, m, n]
+        a_data = jnp.concatenate([a.to_eval().data for a in a_lts], axis=1)
+        diff = ew_sub(a_data, gy, jt.moduli)  # [L, B*d, m, n]
+        L, _, m, n = diff.shape
+        diff_b = jnp.transpose(diff.reshape(L, B, d, m, n), (1, 0, 2, 3, 4))
+        s_data = self.secret_vec.to_eval().data  # [L, 1, d, n]
+        s_b = jnp.broadcast_to(s_data, (B,) + s_data.shape)
+        vec = jax.vmap(zq_matmul, in_axes=(0, 0, None, None, None, None))(
+            s_b, diff_b, jt.moduli, jt.qinv_neg, jt.combine_pows_mont,
+            jt.sign_corr_pows,
+        )  # [B, L, 1, m, n]
+        return [
+            BggEncoding(
+                PolyMatrix(vec[i], EVAL, params),
+                BggPublicKey(a_lts[i], True),
+                ys[i],
+            )
+            for i in range(B)
+        ]

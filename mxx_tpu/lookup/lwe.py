@@ -37,6 +37,19 @@ def derive_a_lt_matrix(params, row_size: int, hash_key: bytes, gate_id: int, slo
     return HashSampler().sample_hash(params, hash_key, tag, row_size, m_g, FinRingDist())
 
 
+def derive_a_lt_matrices_batch(params, row_size: int, hash_key: bytes,
+                               gate_ids: list[int], slot_idx=None) -> list[PolyMatrix]:
+    """Many gates' A_LT in ONE device program — bit-identical per-gate to
+    `derive_a_lt_matrix` (same tags/streams). LUT-heavy nested-RNS circuits
+    evaluate thousands of PubLut gates per level; per-gate hash dispatch was
+    the dominant eval cost before batching (round-3 profile)."""
+    m_g = row_size * params.modulus_digits
+    tags = [f"A_LT_{g}_slot{slot_idx or 0}" for g in gate_ids]
+    return HashSampler().sample_hash_batch(
+        params, hash_key, tags, row_size, m_g, FinRingDist(), eval_form=True
+    )
+
+
 def _k_low_tag(gate_id: int, lut_id: int, lut_entry_idx: int, slot_idx=None) -> str:
     return f"LWE_R_G_{gate_id}_{lut_id}_{lut_entry_idx}_slot{slot_idx or 0}"
 

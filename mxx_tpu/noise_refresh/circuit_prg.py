@@ -64,6 +64,49 @@ class GoldreichNoiseRefreshMaterial:
     masks: list
 
 
+def build_ranged_prg_material_digit(circuit, seed_cts: list, graph_seed: bytes,
+                                    digit_idx: int, ring_dim: int, log_base_q: int,
+                                    crt_depth: int, v_bits: int, cbd_n: int):
+    """One gadget digit's refresh material from range slices of the CONCEPTUAL
+    full-domain Goldreich streams (reference
+    build_goldreich_encrypted_seed_material_ranges, naive_vec.rs:1883-1914:
+    error range = digit_idx*ring_dim samples of the CBD stream; mask ranges
+    = crt_idx*log_base_q*chunk + digit_idx*chunk with chunk = ring_dim*v_bits).
+
+    Returns (errors, masks_by_crt): `errors` = ring_dim CBD-combined value
+    ciphertexts; `masks_by_crt[crt]` = ring_dim*v_bits bit ciphertexts. All
+    in-circuit over the encrypted seed — no host randomness."""
+    input_size = len(seed_cts)
+    # CBD stream: log_base_q * ring_dim samples, 2*cbd_n bits each
+    bits_per_digit = ring_dim * 2 * cbd_n
+    cbd_prg = GoldreichFhePrg.setup_range(
+        input_size, log_base_q * bits_per_digit,
+        digit_idx * bits_per_digit, bits_per_digit,
+        derive_noise_refresh_graph_seed(graph_seed, b"NoiseRefreshCBD/v1", 0),
+    )
+    bits = cbd_prg.evaluate(seed_cts, circuit)
+    errors = []
+    for i in range(ring_dim):
+        base = i * 2 * cbd_n
+        acc = bits[base]
+        for j in range(1, cbd_n):
+            acc = acc.add(bits[base + j], circuit)
+        for j in range(cbd_n):
+            acc = acc.sub(bits[base + cbd_n + j], circuit)
+        errors.append(acc)
+    # mask stream: crt_depth * log_base_q * chunk bits, chunk = ring_dim*v
+    chunk = ring_dim * v_bits
+    mask_seed = derive_noise_refresh_graph_seed(graph_seed, b"NoiseRefreshMask/v1", 0)
+    masks_by_crt = []
+    for crt_idx in range(crt_depth):
+        start = crt_idx * log_base_q * chunk + digit_idx * chunk
+        prg = GoldreichFhePrg.setup_range(
+            input_size, crt_depth * log_base_q * chunk, start, chunk, mask_seed
+        )
+        masks_by_crt.append(prg.evaluate(seed_cts, circuit))
+    return errors, masks_by_crt
+
+
 def build_noise_refresh_prg_material(circuit, seed_cts: list, graph_seed: bytes,
                                      ring_dim: int, log_base_q: int, crt_depth: int,
                                      v_bits: int, cbd_n: int

@@ -227,7 +227,95 @@ class NoiseRefresherNaiveVec:
         cols = [c if c is not None else zero for c in cols]
         return cols[0].concat_columns(cols[1:])
 
+    # ------------------------------------------- shared decoded refresh terms
+
+    def decoded_terms(self, one_wire, k_wire, material: RefreshMaterialCts,
+                      plt_evaluator, extract) -> list[PolyMatrix]:
+        """Per-CRT refresh-term matrices from replayed native material cts,
+        computed ONCE and shared by every wire refreshed in the same batch
+        (reference preprocess_many/decoded_refresh_terms_public,
+        naive_vec.rs:1041-1075 — round 2 recomputed these per wire)."""
+        vals = self.material_wire_values(material)
+        decoded = self._decoded_wires(one_wire, k_wire, material, vals, plt_evaluator)
+        return [
+            self._term_matrix(decoded, crt_idx, extract)
+            for crt_idx in range(self.params.crt_depth)
+        ]
+
+    def decoded_terms_prg(self, one_wire, k_wire, seed_ct_wires: list,
+                          graph_seed: bytes, cbd_n: int, plt_evaluator,
+                          extract, slot_transfer_evaluator=None) -> list[PolyMatrix]:
+        """REAL-mode refresh terms: ONE circuit expands the encrypted PRG seed
+        into per-digit CBD error + mask ciphertexts (ranged Goldreich streams,
+        circuit_prg.build_ranged_prg_material_digit), decrypts them with the
+        key wire, and outputs decoded[digit][crt] — evaluated over the caller's
+        BGG wires with NO host randomness (reference material_circuit,
+        naive_vec.rs:1780-1936 + preprocess_many:1009-1040)."""
+        from .circuit_prg import build_ranged_prg_material_digit
+        from .circuit_decrypt import (
+            decrypt_centered_bit_decomposed_polynomial as _dec_mask,
+            decrypt_error_coefficients_as_polynomial as _dec_err,
+        )
+
+        params = self.params
+        ctx = self.ring_gsw
+        circuit = ctx.fresh_circuit()
+        probe = RingGswCiphertext.input(ctx, ctx.fresh_circuit())
+        wpc = len(probe.flatten())
+        assert len(seed_ct_wires) % wpc == 0, (len(seed_ct_wires), wpc)
+        seed_bits = len(seed_ct_wires) // wpc
+        seeds = [RingGswCiphertext.input(ctx, circuit) for _ in range(seed_bits)]
+        key = circuit.input(1)[0]
+        digits = params.modulus_digits
+        crt_depth = params.crt_depth
+        mask_moduli = mask_plaintext_moduli_from_full_modulus(ctx.q_big, self.v_bits)
+        outputs = []
+        for digit_idx in range(digits):
+            errors, masks_by_crt = build_ranged_prg_material_digit(
+                circuit, seeds, graph_seed, digit_idx, params.n, digits,
+                crt_depth, self.v_bits, cbd_n,
+            )
+            for crt_idx, q_i in enumerate(params.moduli):
+                dec_err = _dec_err(circuit, errors, key, int(q_i))
+                dec_mask = _dec_mask(circuit, masks_by_crt[crt_idx], key, mask_moduli)
+                outputs.append(circuit.add_gate(dec_err, dec_mask))
+        circuit.output(outputs)
+        with span("noise_refresh.prg_material_circuit", gates=circuit.num_gates()):
+            results = circuit.eval(
+                params, one_wire, list(seed_ct_wires) + [k_wire],
+                plt_evaluator=plt_evaluator,
+                slot_transfer_evaluator=slot_transfer_evaluator,
+                batched=True,
+            )
+        decoded = [
+            results[d * crt_depth : (d + 1) * crt_depth] for d in range(digits)
+        ]
+        return [
+            self._term_matrix(decoded, crt_idx, extract)
+            for crt_idx in range(crt_depth)
+        ]
+
     # ------------------------------------------------------------ offline
+
+    def preprocess_from_decoded(self, refresh_id: bytes, one_pk: BggPublicKey,
+                                input_pk: BggPublicKey,
+                                terms: list[PolyMatrix]):
+        """Per-wire pubkey combine over SHARED decoded terms (reference
+        preprocess_from_decoded, naive_vec.rs:1539)."""
+        params = self.params
+        a_prime = self._a_prime(refresh_id)
+        gadget = PolyMatrix.gadget_matrix(params, self.d)
+        refresh_keys = []
+        for crt_idx, q_i in enumerate(params.moduli):
+            qhat = params.modulus // int(q_i)
+            input_term = input_pk.matrix_mul(
+                params, gadget.mul_int_scalar(qhat)
+            ).matrix
+            one_term = one_pk.matrix_mul(
+                params, a_prime.mul_int_scalar(qhat)
+            ).matrix
+            refresh_keys.append(input_term + terms[crt_idx] - one_term)
+        return BggPublicKey(a_prime, True), refresh_keys
 
     def preprocess(self, refresh_id: bytes, one_pk: BggPublicKey,
                    input_pk: BggPublicKey, k_pk: BggPublicKey,
@@ -236,27 +324,40 @@ class NoiseRefresherNaiveVec:
         The caller persists trapdoor preimages of [T_i; 0] as decoders
         (reference preprocess_from_decoded + DiamondIO refresh preimages)."""
         with span("noise_refresh.preprocess", refresh_id=refresh_id.hex()[:12]):
-            params = self.params
-            a_prime = self._a_prime(refresh_id)
-            gadget = PolyMatrix.gadget_matrix(params, self.d)
-            vals = self.material_wire_values(material)
-            decoded = self._decoded_wires(one_pk, k_pk, material, vals, plt_evaluator)
-            refresh_keys = []
-            for crt_idx, q_i in enumerate(params.moduli):
-                qhat = params.modulus // int(q_i)
-                input_term = input_pk.matrix_mul(
-                    params, gadget.mul_int_scalar(qhat)
-                ).matrix
-                one_term = one_pk.matrix_mul(
-                    params, a_prime.mul_int_scalar(qhat)
-                ).matrix
-                refresh_term = self._term_matrix(
-                    decoded, crt_idx, lambda w: w.matrix
-                )
-                refresh_keys.append(input_term + refresh_term - one_term)
-            return BggPublicKey(a_prime, True), refresh_keys
+            terms = self.decoded_terms(
+                one_pk, k_pk, material, plt_evaluator, lambda w: w.matrix
+            )
+            return self.preprocess_from_decoded(refresh_id, one_pk, input_pk, terms)
 
     # ------------------------------------------------------------- online
+
+    def online_eval_from_decoded(self, refresh_id: bytes, one_enc: BggEncoding,
+                                 input_enc: BggEncoding, terms: list[PolyMatrix],
+                                 decoders: list[PolyMatrix]) -> BggEncoding:
+        """Per-wire encoding combine over SHARED decoded terms;
+        decoders[crt_idx] = state0 @ stored_preimage(T_i)."""
+        params = self.params
+        a_prime = self._a_prime(refresh_id)
+        gadget = PolyMatrix.gadget_matrix(params, self.d)
+        acc = None
+        for crt_idx, q_i in enumerate(params.moduli):
+            qhat = params.modulus // int(q_i)
+            input_term = input_enc.matrix_mul(
+                params, gadget.mul_int_scalar(qhat)
+            ).vector
+            one_term = one_enc.matrix_mul(
+                params, a_prime.mul_int_scalar(qhat)
+            ).vector
+            level = input_term + terms[crt_idx] - one_term - decoders[crt_idx]
+            rounded = level.modulus_switch(int(q_i))
+            reconst = (
+                params.modulus // int(q_i)
+                * pow(params.modulus // int(q_i), -1, int(q_i))
+                % params.modulus
+            )
+            term = rounded.mul_int_scalar(reconst)
+            acc = term if acc is None else acc + term
+        return BggEncoding(acc, BggPublicKey(a_prime, True), input_enc.plaintext)
 
     def online_eval(self, refresh_id: bytes, one_enc: BggEncoding,
                     input_enc: BggEncoding, k_enc: BggEncoding,
@@ -264,30 +365,9 @@ class NoiseRefresherNaiveVec:
                     plt_evaluator) -> BggEncoding:
         """Encoding path: decoders[crt_idx] = state0 @ stored_preimage(T_i)."""
         with span("noise_refresh.online_eval", refresh_id=refresh_id.hex()[:12]):
-            params = self.params
-            a_prime = self._a_prime(refresh_id)
-            gadget = PolyMatrix.gadget_matrix(params, self.d)
-            vals = self.material_wire_values(material)
-            decoded = self._decoded_wires(one_enc, k_enc, material, vals, plt_evaluator)
-            acc = None
-            for crt_idx, q_i in enumerate(params.moduli):
-                qhat = params.modulus // int(q_i)
-                input_term = input_enc.matrix_mul(
-                    params, gadget.mul_int_scalar(qhat)
-                ).vector
-                one_term = one_enc.matrix_mul(
-                    params, a_prime.mul_int_scalar(qhat)
-                ).vector
-                refresh_term = self._term_matrix(
-                    decoded, crt_idx, lambda w: w.vector
-                )
-                level = input_term + refresh_term - one_term - decoders[crt_idx]
-                rounded = level.modulus_switch(int(q_i))
-                reconst = (
-                    params.modulus // int(q_i)
-                    * pow(params.modulus // int(q_i), -1, int(q_i))
-                    % params.modulus
-                )
-                term = rounded.mul_int_scalar(reconst)
-                acc = term if acc is None else acc + term
-            return BggEncoding(acc, BggPublicKey(a_prime, True), input_enc.plaintext)
+            terms = self.decoded_terms(
+                one_enc, k_enc, material, plt_evaluator, lambda w: w.vector
+            )
+            return self.online_eval_from_decoded(
+                refresh_id, one_enc, input_enc, terms, decoders
+            )

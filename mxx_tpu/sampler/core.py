@@ -37,16 +37,21 @@ KARNEY_THRESHOLD = 300.0
 _GAUSS_TABLE_ACC = 5e-32
 
 
+def derive_key_bytes(key: bytes, tag: bytes | str, domain: bytes = b"") -> bytes:
+    """Host-side digest for `derive_key` (batch callers stack these into one
+    device upload instead of paying a device_put per tag)."""
+    if isinstance(tag, str):
+        tag = tag.encode()
+    return hashlib.sha256(b"mxx_tpu/v1" + bytes(key) + b"|" + tag + b"|" + domain).digest()
+
+
 def derive_key(key: bytes, tag: bytes | str, domain: bytes = b"") -> jax.Array:
     """Derive a device PRNG key from a 32-byte key + tag (+ domain separator).
 
     The full SHA-256 digest becomes a 256-bit ChaCha20 key (see chacha.py) —
     no entropy is discarded, matching the reference's Keccak sampler keyed by
     the entire 32-byte hash_key (src/sampler/hash.rs:14-51)."""
-    if isinstance(tag, str):
-        tag = tag.encode()
-    h = hashlib.sha256(b"mxx_tpu/v1" + bytes(key) + b"|" + tag + b"|" + domain).digest()
-    return chacha.key_from_bytes(h)
+    return chacha.key_from_bytes(derive_key_bytes(key, tag, domain))
 
 
 def fresh_key(seed: int | bytes | None = None) -> jax.Array:

@@ -113,17 +113,46 @@ class HashSampler:
 
     def sample_hash_batch(
         self, params: RingParams, key: bytes, tags: list, nrow: int, ncol: int,
-        dist: DistType,
+        dist: DistType, eval_form: bool = False,
     ) -> list[PolyMatrix]:
         """sample_hash for many tags in ONE device program (the offline
         planes derive one K_low per LUT entry — per-tag dispatch dominates
-        through a high-latency tunnel). Bit-identical to per-tag calls."""
-        bases = jnp.stack(
-            [core.derive_key(key, tag, domain=_dist_domain(dist)) for tag in tags]
+        through a high-latency tunnel). Bit-identical to per-tag calls.
+
+        Keys are derived host-side and shipped as ONE array; results come
+        back in ONE host fetch and are returned as zero-copy numpy views
+        (batch callers previously paid a device dispatch per tag for key
+        upload and per matrix for slicing — round-3 profile). With
+        `eval_form=True` the whole batch is NTT'd in the same program and
+        EVAL-form matrices are returned (for consumers that immediately
+        to_eval(), e.g. batched LUT output pubkeys)."""
+        import numpy as np
+
+        from ..ring.ntt import ntt_fwd
+        from ..ring.poly import EVAL
+
+        domain = _dist_domain(dist)
+        bases = jnp.asarray(
+            np.stack([
+                np.frombuffer(core.derive_key_bytes(key, tag, domain), dtype="<u4")
+                for tag in tags
+            ])
         )
         cols = jnp.arange(ncol, dtype=jnp.uint32)
         data = _batch_columns_planes(bases, cols, params.jt.moduli, dist, nrow, params.n)
-        return [PolyMatrix(data[i], COEFF, params) for i in range(len(tags))]
+        B = len(tags)
+        fmt = COEFF
+        if eval_form:
+            L = params.crt_depth
+            # data: [B, L, r, c, n] -> [L, B*r, c, n] for one batched NTT
+            flat = jnp.transpose(data, (1, 0, 2, 3, 4)).reshape(L, B * nrow, ncol, params.n)
+            flat = ntt_fwd(flat, params.jt.psi_rev_mont, params.jt.moduli, params.jt.qinv_neg)
+            data = jnp.transpose(
+                flat.reshape(L, B, nrow, ncol, params.n), (1, 0, 2, 3, 4)
+            )
+            fmt = EVAL
+        host = np.asarray(data)  # one fetch; slices below are views
+        return [PolyMatrix(host[i], fmt, params) for i in range(B)]
 
     def sample_hash_decomposed(self, params, key, tag, nrow, ncol, dist) -> PolyMatrix:
         return self.sample_hash(params, key, tag, nrow, ncol, dist).decompose()

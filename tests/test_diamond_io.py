@@ -15,7 +15,11 @@ secret-oracle debug evaluators (lookup/debug.py) to stay CI-sized; the
 production LWE evaluator algebra is covered by test_lwe_modp_chain.
 """
 
+import pytest
+
 import mxx_tpu  # noqa: F401
+
+pytestmark = pytest.mark.slow
 
 from mxx_tpu.matrix import PolyMatrix
 from mxx_tpu.ring.params import RingParams

@@ -8,7 +8,11 @@ our u32-limb design caps crt_bits at 30, so depth compensates).
 
 import random
 
+import pytest
+
 import mxx_tpu  # noqa: F401
+
+pytestmark = pytest.mark.slow
 
 from mxx_tpu.ring.params import RingParams
 from mxx_tpu.ring.poly import Poly
