@@ -1,10 +1,20 @@
-"""Headline benchmark: negacyclic NTT throughput per chip at n=2^13.
+"""Headline benchmarks: the three BASELINE.json metrics, one JSON line each.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Line 1 (headline): negacyclic NTT throughput per chip at n=2^13.
+Line 2: trapdoor preimage throughput (preimage-cols/s) at the reference's
+        bench_preimage workload shape (d=1, 50 cols, n=2^14, L=10).
+Line 3: RingGSW external-product throughput (C · G^{-1}(c)) at n=2^13, L=8.
 
-Baseline: the reference's CUDA NTT (MatrixNTT.cu) on an H200 is estimated at
-~4.0e5 limb-transforms/s at n=2^13 (bandwidth-bound radix-2 over u64 limbs;
-no published numbers exist — see BASELINE.md). vs_baseline = value / 4.0e5.
+Each line is {"metric", "value", "unit", "vs_baseline"}.
+
+Baselines (no published reference numbers exist — see BASELINE.md "Round-3
+baselines" for the derivations):
+- NTT: CUDA MatrixNTT.cu on H200 estimated ~4.0e5 limb-transforms/s at
+  n=2^13 (bandwidth-bound radix-2 over u64 limbs).
+- preimage: H200 estimate ~330 preimage-cols/s (mixed bandwidth-bound
+  streaming + divergent per-thread Karney rejection loops).
+- GSW ext-prod: H200 estimate ~640 ext-prods/s at the measured shape
+  (decompose traffic + eval-domain matmul, bandwidth-normalized).
 
 Measures the production forward path: the fused Pallas four-step kernel
 (ops/pallas_four_step.py) on TPU, falling back to the XLA radix chain
@@ -29,11 +39,70 @@ from mxx_tpu.ring.params import RingParams
 from mxx_tpu.ring.ntt import ntt_fwd
 
 CUDA_BASELINE_NTT_PER_S = 4.0e5
+CUDA_BASELINE_PREIMAGE_COLS_PER_S = 330.0
+CUDA_BASELINE_GSW_EXT_PRODS_PER_S = 640.0
 
 N = 1 << 13
 L = 8
 BATCH = 512
 ITERS = 10
+
+
+def emit(metric, value, unit, vs):
+    print(json.dumps({"metric": metric, "value": round(value, 1), "unit": unit,
+                      "vs_baseline": round(value / vs, 3)}), flush=True)
+
+
+def probe(arr):
+    """Force remote completion: on the tunneled runtime block_until_ready
+    acks without executing; only a host fetch proves the computation ran."""
+    np.asarray(arr.reshape(-1)[:1])
+
+
+def bench_preimage(n=1 << 14, L_pre=10, crt_bits=24, base_bits=12, cols=50,
+                   iters=3):
+    """Reference bench_preimage workload (benches/bench_preimage_gpu.rs:7-57):
+    d=1 trapdoor, 50-column target."""
+    from mxx_tpu.sampler import FinRingDist, TrapdoorSampler, UniformSampler
+
+    params = RingParams.new(n, L_pre, crt_bits, base_bits)
+    ts = TrapdoorSampler(params, 4.578, seed=2)
+    td, a = ts.trapdoor(params, 1)
+    target = UniformSampler(seed=3).sample_uniform(params, 1, cols, FinRingDist())
+    probe(ts.preimage(params, td, a, target).data)  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        probe(ts.preimage(params, td, a, target).data)
+    el = (time.perf_counter() - t0) / iters
+    emit(f"preimage_cols_per_s_d1_n{n}_L{L_pre}", cols / el,
+         "preimage-cols/s", CUDA_BASELINE_PREIMAGE_COLS_PER_S)
+
+
+def bench_gsw_ext_prod(n=1 << 13, L_gsw=8, crt_bits=28, base_bits=14, B=64,
+                       iters=3):
+    """RingGSW external product C · G^{-1}(c): gadget decomposition of a
+    [2, B] ciphertext-column batch + eval-domain matmul with a [2, 2k] GSW
+    ciphertext (reference MatrixDecompose.cu + MatrixArith.cu composition;
+    one ext-prod = one ciphertext column)."""
+    from mxx_tpu.matrix import PolyMatrix
+    from mxx_tpu.sampler import FinRingDist, UniformSampler
+
+    params = RingParams.new(n, L_gsw, crt_bits, base_bits)
+    k = params.modulus_digits
+    us = UniformSampler(seed=4)
+    c_mat = us.sample_uniform(params, 2, 2 * k, FinRingDist()).to_eval()
+    cts = us.sample_uniform(params, 2, B, FinRingDist())
+
+    def op():
+        return (c_mat @ cts.decompose()).data
+
+    probe(op())  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        probe(op())
+    el = (time.perf_counter() - t0) / iters
+    emit(f"gsw_ext_prods_per_s_n{n}_L{L_gsw}_B{B}", B / el,
+         "ext-prods/s", CUDA_BASELINE_GSW_EXT_PRODS_PER_S)
 
 
 def main():
@@ -82,6 +151,15 @@ def main():
             }
         )
     )
+
+    # free the NTT operands before the larger preimage/GSW shapes (16 GB chip)
+    del x, y, fn
+    import gc
+
+    gc.collect()
+    bench_preimage()
+    gc.collect()
+    bench_gsw_ext_prod()
 
 
 if __name__ == "__main__":

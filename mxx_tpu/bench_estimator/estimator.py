@@ -18,8 +18,21 @@ from ..circuit.analysis import GroupedExecutionPlan
 from ..circuit.gate import ADD, LARGE_SCALAR_MUL, MUL, PUB_LUT, SMALL_SCALAR_MUL, SUB
 
 
+def force(arr):
+    """Force device completion with a one-element host fetch. On the tunneled
+    TPU runtime `block_until_ready()` acks WITHOUT executing (BENCHMARKS.md
+    "Measurement integrity note" — a 3.5 GB op "completes" in 0.3 ms); only a
+    host read proves the computation ran. The probe slices one element on
+    device first so the fetch itself transfers O(1) bytes."""
+    import numpy as np
+
+    return np.asarray(arr.reshape(-1)[:1])
+
+
 def benchmark_gate_operation(iterations: int, op) -> float:
-    """Median-of-iterations wall time (seconds) of one wire operation."""
+    """Median-of-iterations wall time (seconds) of one wire operation.
+    `op` must end in a `force()` host fetch, NOT `block_until_ready()` —
+    see `force`."""
     times = []
     op()  # warmup / compile
     for _ in range(iterations):
@@ -74,9 +87,9 @@ def measure_poly_costs(params, iterations: int = 5) -> GateCostModel:
     a = us.sample_poly(params, FinRingDist()).to_eval()
     b = us.sample_poly(params, FinRingDist()).to_eval()
     costs = {
-        ADD: benchmark_gate_operation(iterations, lambda: (a + b).data.block_until_ready()),
-        SUB: benchmark_gate_operation(iterations, lambda: (a - b).data.block_until_ready()),
-        MUL: benchmark_gate_operation(iterations, lambda: (a * b).data.block_until_ready()),
+        ADD: benchmark_gate_operation(iterations, lambda: force((a + b).data)),
+        SUB: benchmark_gate_operation(iterations, lambda: force((a - b).data)),
+        MUL: benchmark_gate_operation(iterations, lambda: force((a * b).data)),
     }
     costs[SMALL_SCALAR_MUL] = costs[MUL]
     costs[LARGE_SCALAR_MUL] = costs[MUL]
@@ -100,7 +113,7 @@ def measure_lwe_lut_online_cost(params, d: int = 1, iterations: int = 3) -> floa
 
     def op():
         k_low = derive_k_low(params, d, bytes(32), 0, 0, 0)
-        (c_b @ k_high + c_z @ k_low).data.block_until_ready()
+        force((c_b @ k_high + c_z @ k_low).data)
 
     return benchmark_gate_operation(iterations, op)
 
@@ -123,10 +136,10 @@ def measure_bgg_encoding_costs(params, d: int = 1, iterations: int = 3,
     e1, e2 = encs[1], encs[2]
     costs = {
         ADD: benchmark_gate_operation(
-            iterations, lambda: (e1 + e2).vector.data.block_until_ready()
+            iterations, lambda: force((e1 + e2).vector.data)
         ),
         MUL: benchmark_gate_operation(
-            iterations, lambda: (e1 * e2).vector.data.block_until_ready()
+            iterations, lambda: force((e1 * e2).vector.data)
         ),
     }
     costs[SUB] = costs[ADD]
@@ -158,10 +171,10 @@ def measure_bgg_poly_encoding_costs(params, num_slots: int = 2, iterations: int 
     e1, e2 = encs[1], encs[2]
     costs = {
         ADD: benchmark_gate_operation(
-            iterations, lambda: (e1 + e2).vectors.data.block_until_ready()
+            iterations, lambda: force((e1 + e2).vectors.data)
         ),
         MUL: benchmark_gate_operation(
-            iterations, lambda: (e1 * e2).vectors.data.block_until_ready()
+            iterations, lambda: force((e1 * e2).vectors.data)
         ),
     }
     costs[SUB] = costs[ADD]

@@ -16,6 +16,7 @@ import time
 from dataclasses import dataclass
 
 from ..bench_estimator import GateCostModel, estimate_circuit, measure_bgg_encoding_costs
+from ..bench_estimator.estimator import force
 from ..circuit.analysis import GroupedExecutionPlan
 from ..matrix import PolyMatrix
 from ..sampler import FinRingDist, TrapdoorSampler, UniformSampler
@@ -40,11 +41,11 @@ def measure_preimage_cost(params, d: int = 2, cols: int | None = None,
     td, b = ts.trapdoor(params, d)
     cols = cols if cols is not None else b.ncol
     target = UniformSampler(seed=1).sample_uniform(params, d, cols, FinRingDist())
-    ts.preimage(params, td, b, target).data.block_until_ready()
+    force(ts.preimage(params, td, b, target).data)
     times = []
     for _ in range(iterations):
         t0 = time.perf_counter()
-        ts.preimage(params, td, b, target).data.block_until_ready()
+        force(ts.preimage(params, td, b, target).data)
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]
