@@ -308,12 +308,17 @@ class DiamondIO:
         return len(builder(probe, bits))
 
     def _prf_pipeline(self) -> PrfMaskPipeline:
-        if not hasattr(self, "_prf"):
+        # Keyed cache: rebuilt whenever _hash_key changes so a pipeline built
+        # before obfuscate() (e.g. for shape probing) can never leak the
+        # zero fallback key into branch-mask/rebase material derivation.
+        hk = getattr(self, "_hash_key", b"\0" * 32)
+        if getattr(self, "_prf_hash_key", None) != hk:
             self._prf = PrfMaskPipeline(
-                self.params, self.prf_config, getattr(self, "_hash_key", b"\0" * 32),
+                self.params, self.prf_config, hk,
                 self._trap, self.input_count, self.batch_bits,
                 secret_size=self.secret_size, num_slots=self.payload_slots,
             )
+            self._prf_hash_key = hk
         return self._prf
 
     # ----------------------------------------------------- vec-slot helpers

@@ -1,7 +1,11 @@
-"""Probe: real-mode Diamond iO (no debug_* flags) at the smallest CI config.
+"""Probe: real-mode Diamond iO PRF path at the smallest CI config.
 
-Times each phase of obfuscate/eval with tracing spans so the round-3
-real-mode test (VERDICT r2 directive #1) can be sized. Run on CPU:
+Times each phase of obfuscate/eval with tracing spans so the real-mode test
+(VERDICT r2 directive #1) can be sized. Scope: the PRF/refresh pipeline runs
+in REAL mode (no debug_encrypt_random_prg_wires, no reuse_single_material,
+every wire refreshed); the LUT gates still use the TEST-ONLY secret-oracle
+debug evaluators, so these timings exclude the production storage-backed LWE
+lookup cost. Run on CPU:
 
     JAX_PLATFORMS=cpu python scripts/real_mode_probe.py
 """
@@ -17,7 +21,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import mxx_tpu  # noqa: F401
 from mxx_tpu.ring.params import RingParams
 from mxx_tpu.io_protocols import DiamondIO
-from mxx_tpu.io_protocols.prf_mask import PrfConfig, PrfMaskPipeline
+from mxx_tpu.io_protocols.prf_mask import PrfConfig
 from mxx_tpu.lookup.debug import (
     DebugBGGEncodingPltEvaluator,
     DebugBGGPubKeyPltEvaluator,
@@ -31,8 +35,11 @@ def main():
     cfg = PrfConfig(
         seed_bits=5,
         prf_mask_output_coeff_bits=1,
-        p_moduli_bits=5,
-        max_unreduced_muls=1,
+        p_moduli_bits=8,
+        # >= 2: a GSW external product multiplies two FULL-REDUCED values, so
+        # the p-basis budget must cover ((sum_p + k) * q)^2 (muls=1 only
+        # covers decrypt-style const muls and fails the mul budget assert)
+        max_unreduced_muls=2,
         noise_refresh_v_bits=1,
         p_basis="wide",
         # REAL MODE: no debug flags, every wire refreshed
@@ -49,6 +56,8 @@ def main():
                 obf.hash_key, s.injector.debug_final_secret_matrix(d, digits)
             ),
     )
+    # shape diagnostics only; _prf_pipeline is keyed on the hash key, so this
+    # early probe pipeline is rebuilt once obfuscate() sets the real key
     prf = dio._prf_pipeline()
     print(f"wires_per_ct={prf.wires_per_ct} seed_wires={cfg.seed_bits * prf.wires_per_ct}")
     print(f"nested k={prf.ctx.nested.k} depth={prf.ctx.nested.q_moduli_depth} "
