@@ -85,10 +85,22 @@ def lift_constants_batched(params, one_wire, values: list[int]):
     outs = []
     for start in range(0, len(values), LIFT_CHUNK):
         chunk = [int(v) for v in values[start : start + LIFT_CHUNK]]
+        n_real = len(chunk)
+        # pad to a power of two so every chunk hits a cached program shape
+        pad = 1
+        while pad < n_real:
+            pad *= 2
+        chunk = chunk + [chunk[-1]] * (pad - n_real)
         s_eval, out_pk, out_vec = _lift_chunk(
             params, one_matrix.data, chunk, is_enc,
             one_vector.data if is_enc else None,
         )
+        chunk = chunk[:n_real]
+        # ONE host fetch per chunk; per-value slices below are numpy views
+        # (a device slice per value was ~50 ms each through dispatch)
+        s_eval = np.asarray(s_eval)
+        out_pk = np.asarray(out_pk)
+        out_vec = np.asarray(out_vec) if out_vec is not None else None
         for i, v in enumerate(chunk):
             pk = BggPublicKey(
                 PolyMatrix(out_pk[i], EVAL, params),

@@ -35,7 +35,12 @@ from .gate import (
 )
 
 MIN_BATCH = 3
-PAD_POW2 = False
+# Batch widths above this pad to the next power of two: protocol circuits
+# produce a fresh width per level, and every fresh width is a fresh XLA
+# compile of each batch kernel (compiles dominated the round-4 real-mode
+# profile). Below the threshold the duplicated tail's real compute loses
+# more than the compile cache saves.
+PAD_POW2_MIN = 16
 
 _BATCHABLE = {ADD, SUB, MUL, SMALL_SCALAR_MUL, LARGE_SCALAR_MUL}
 
@@ -153,12 +158,12 @@ class WireStore:
 
 
 def _pad_pow2(items: list) -> list:
-    """Identity by default: padding batch widths to powers of two bounds XLA
-    compile variants but measurably loses at small widths (the repeated tail
-    is real compute); large-scale benches can re-enable via PAD_POW2."""
-    if not PAD_POW2:
-        return items
+    """Pad wide batches to the next power of two (repeat the last gate) so
+    kernel shapes hit the XLA compile cache; executors slice back to the real
+    count. Small batches stay exact (the repeated tail is real compute)."""
     n = len(items)
+    if n <= PAD_POW2_MIN:
+        return items
     target = 1
     while target < n:
         target *= 2

@@ -151,6 +151,75 @@ def _keystream_words(key8, nwords: int, domain: np.uint32):
     return blocks.reshape(-1)[:nwords]
 
 
+def _chacha_blocks_keys(keys, counters, nonce0, nonce1, nonce2):
+    """ChaCha20 blocks with a PER-LANE key: keys uint32[nb, 8], counters
+    uint32[nb]; nonce* scalars (or [nb]). Returns uint32[nb, 16].
+
+    Lane i's block is bit-identical to `_chacha_blocks(keys[i],
+    counters[i:i+1], ...)[0]` — the flat lane axis replaces nested `vmap`s of
+    single-key blocks, which XLA:CPU compiles pathologically (a B=1000 nested
+    vmap of the fori_loop did not finish compiling in 10 minutes; this flat
+    form compiles once per shape and vectorizes across all lanes)."""
+    nb = counters.shape[0]
+    state = []
+    for i in range(4):
+        state.append(jnp.broadcast_to(jnp.uint32(int(_SIGMA[i])), (nb,)))
+    for i in range(8):
+        state.append(keys[:, i])
+    state.append(counters)
+    for nw in (nonce0, nonce1, nonce2):
+        state.append(jnp.broadcast_to(jnp.asarray(nw, jnp.uint32), (nb,)))
+    init = tuple(state)
+
+    def double_round(_, s):
+        s = list(s)
+        _quarter_round(s, 0, 4, 8, 12)
+        _quarter_round(s, 1, 5, 9, 13)
+        _quarter_round(s, 2, 6, 10, 14)
+        _quarter_round(s, 3, 7, 11, 15)
+        _quarter_round(s, 0, 5, 10, 15)
+        _quarter_round(s, 1, 6, 11, 12)
+        _quarter_round(s, 2, 7, 8, 13)
+        _quarter_round(s, 3, 4, 9, 14)
+        return tuple(s)
+
+    state = jax.lax.fori_loop(0, _N_ROUNDS // 2, double_round, init)
+    out = [s + i for s, i in zip(state, init)]
+    return jnp.stack(out, axis=-1)
+
+
+def fold_in_batch(keys, datas) -> jax.Array:
+    """Per-lane `fold_in`: keys uint32[nb, 8], datas uint32[nb] (< 2^32).
+    Row i is bit-identical to `fold_in(keys[i], datas[i])`."""
+    lo = jnp.asarray(datas, jnp.uint32)
+    blk = _chacha_blocks_keys(keys, lo, np.uint32(0), np.uint32(0), _DOMAIN_FOLD)
+    return blk[:, :8]
+
+
+def keystream_words_batch(keys, nwords: int, domain) -> jax.Array:
+    """uint32[nb, nwords]: row i is bit-identical to
+    `_keystream_words(keys[i], nwords, domain)` (same word-major block
+    order), computed as ONE flat-lane block call."""
+    nb = keys.shape[0]
+    nblocks = -(-nwords // 16)
+    lane_keys = jnp.repeat(keys, nblocks, axis=0)  # [nb*nblocks, 8]
+    counters = jnp.tile(jnp.arange(nblocks, dtype=jnp.uint32), (nb,))
+    blocks = _chacha_blocks_keys(
+        lane_keys, counters, np.uint32(0), np.uint32(0), jnp.asarray(domain, jnp.uint32)
+    )  # [nb*nblocks, 16]
+    w = blocks.reshape(nb, nblocks, 16)
+    w = jnp.transpose(w, (0, 2, 1)).reshape(nb, nblocks * 16)  # word-major
+    return w[:, :nwords]
+
+
+def random_bits_batch(keys, shape: tuple, domain=None) -> jax.Array:
+    """uint32[nb, *shape]: row i bit-identical to
+    `random_bits(keys[i], shape, jnp.uint32)`."""
+    n = math.prod(shape) if shape else 1
+    words = keystream_words_batch(keys, n, _DOMAIN_BITS if domain is None else domain)
+    return words.reshape((keys.shape[0],) + shape)
+
+
 # ------------------------------------------------------------------ key API
 
 

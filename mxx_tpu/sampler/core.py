@@ -97,6 +97,21 @@ def uniform_residues(key, shape: tuple, q):
     return r.astype(jnp.uint32)
 
 
+def uniform_residues_batch(keys, shape: tuple, q):
+    """Per-lane `uniform_residues`: keys uint32[nb, 8] -> uint32[nb, L,
+    *shape], row i bit-identical to `uniform_residues(keys[i], shape, q)`.
+    Flat lane-parallel ChaCha (see chacha._chacha_blocks_keys) — nested vmaps
+    of the single-key kernel are an XLA:CPU compile hazard."""
+    nb = keys.shape[0]
+    L = q.shape[0]
+    bits = chacha.random_bits_batch(keys, (3, L) + shape)  # [nb, 3, L, *shape]
+    q64 = q.reshape((1, L) + (1,) * len(shape)).astype(jnp.uint64)
+    r = bits[:, 0].astype(jnp.uint64) % q64
+    r = ((r << 32) | bits[:, 1].astype(jnp.uint64)) % q64
+    r = ((r << 32) | bits[:, 2].astype(jnp.uint64)) % q64
+    return r.astype(jnp.uint32)
+
+
 def _int_to_residues(v, q):
     """Signed int64 values -> uint32 residues per limb. v: [*shape], q: [L]."""
     L = q.shape[0]

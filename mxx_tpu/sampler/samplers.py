@@ -53,6 +53,23 @@ import functools
 
 @functools.partial(jax.jit, static_argnames=("dist", "nrow", "n"))
 def _columns_planes(base_key, cols_arr, q, dist: DistType, nrow: int, n: int):
+    ncol = cols_arr.shape[0]
+    if isinstance(dist, (FinRingDist, BitDist, TernaryDist)):
+        # flat lane-parallel path (see _batch_columns_planes): per-column
+        # bit-identical to fold_in + _sample_residues
+        col_keys = chacha.fold_in_batch(
+            jnp.broadcast_to(base_key, (ncol, 8)), cols_arr
+        )
+        if isinstance(dist, FinRingDist):
+            planes = core.uniform_residues_batch(col_keys, (nrow, n), q)
+        elif isinstance(dist, BitDist):
+            b = (chacha.random_bits_batch(col_keys, (nrow, n)) & 1).astype(jnp.int64)
+            planes = _int_to_residues_batch(b, q)
+        else:
+            u = chacha.random_bits_batch(col_keys, (nrow, n))
+            planes = _int_to_residues_batch((u % 3).astype(jnp.int64) - 1, q)
+        return jnp.transpose(planes, (1, 2, 0, 3))  # [L, nrow, ncol, n]
+
     def one_col(j):
         k = chacha.fold_in(base_key, j)
         return _sample_residues(k, dist, (nrow, n), q)  # [L, nrow, n]
@@ -61,20 +78,39 @@ def _columns_planes(base_key, cols_arr, q, dist: DistType, nrow: int, n: int):
     return jnp.transpose(planes, (1, 2, 0, 3))  # [L, nrow, ncol, n]
 
 
-@functools.partial(jax.jit, static_argnames=("dist", "nrow", "n"))
-def _batch_columns_planes(base_keys, cols_arr, q, dist: DistType, nrow: int, n: int):
-    """Many (key, same column range) matrices in ONE program: bit-identical
-    to per-key `_columns_planes` (same fold_in/per-column streams)."""
-
-    def per_key(bk):
-        def one_col(j):
-            k = chacha.fold_in(bk, j)
-            return _sample_residues(k, dist, (nrow, n), q)
-
-        return jax.vmap(one_col)(cols_arr)  # [ncol, L, nrow, n]
-
-    planes = jax.vmap(per_key)(base_keys)  # [B, ncol, L, nrow, n]
+@functools.partial(jax.jit, static_argnames=("dist", "nrow", "n", "ncol"))
+def _batch_columns_planes(base_keys, q, dist: DistType, nrow: int, n: int, ncol: int):
+    """Many (key, full column range) matrices in ONE program: per-key output
+    bit-identical to `_columns_planes` (same fold_in / per-column streams),
+    computed over a FLAT (key, col) lane axis. The previous nested
+    vmap(vmap(fori_loop)) form was an XLA:CPU compile hazard — a B=1000
+    batch did not finish compiling in 10 minutes; this form compiles in
+    seconds and vectorizes across all B*ncol lanes."""
+    B = base_keys.shape[0]
+    cols = jnp.tile(jnp.arange(ncol, dtype=jnp.uint32), (B,))  # [B*ncol]
+    keys_rep = jnp.repeat(base_keys, ncol, axis=0)  # [B*ncol, 8]
+    col_keys = chacha.fold_in_batch(keys_rep, cols)  # [B*ncol, 8]
+    if isinstance(dist, FinRingDist):
+        planes = core.uniform_residues_batch(col_keys, (nrow, n), q)
+    elif isinstance(dist, BitDist):
+        b = (chacha.random_bits_batch(col_keys, (nrow, n)) & 1).astype(jnp.int64)
+        planes = _int_to_residues_batch(b, q)
+    elif isinstance(dist, TernaryDist):
+        u = chacha.random_bits_batch(col_keys, (nrow, n))
+        planes = _int_to_residues_batch((u % 3).astype(jnp.int64) - 1, q)
+    else:
+        # Gauss batches fall back to per-lane vmap of the table sampler
+        # (cold path: offline Gauss planes use the trapdoor samplers instead)
+        planes = jax.vmap(lambda k: _sample_residues(k, dist, (nrow, n), q))(col_keys)
+    planes = planes.reshape(B, ncol, q.shape[0], nrow, n)
     return jnp.transpose(planes, (0, 2, 3, 1, 4))  # [B, L, nrow, ncol, n]
+
+
+def _int_to_residues_batch(v, q):
+    """Signed int64 [nb, *shape] -> uint32 residues [nb, L, *shape]."""
+    L = q.shape[0]
+    q64 = q.reshape((1, L) + (1,) * (v.ndim - 1)).astype(jnp.int64)
+    return (v[:, None].astype(jnp.int64) % q64).astype(jnp.uint32)
 
 
 def _columns_matrix(params: RingParams, base_key, dist: DistType, nrow: int, cols) -> PolyMatrix:
@@ -132,27 +168,45 @@ class HashSampler:
         from ..ring.poly import EVAL
 
         domain = _dist_domain(dist)
-        bases = jnp.asarray(
-            np.stack([
-                np.frombuffer(core.derive_key_bytes(key, tag, domain), dtype="<u4")
-                for tag in tags
-            ])
-        )
-        cols = jnp.arange(ncol, dtype=jnp.uint32)
-        data = _batch_columns_planes(bases, cols, params.jt.moduli, dist, nrow, params.n)
+        base_np = np.stack([
+            np.frombuffer(core.derive_key_bytes(key, tag, domain), dtype="<u4")
+            for tag in tags
+        ])
         B = len(tags)
-        fmt = COEFF
-        if eval_form:
-            L = params.crt_depth
-            # data: [B, L, r, c, n] -> [L, B*r, c, n] for one batched NTT
-            flat = jnp.transpose(data, (1, 0, 2, 3, 4)).reshape(L, B * nrow, ncol, params.n)
-            flat = ntt_fwd(flat, params.jt.psi_rev_mont, params.jt.moduli, params.jt.qinv_neg)
-            data = jnp.transpose(
-                flat.reshape(L, B, nrow, ncol, params.n), (1, 0, 2, 3, 4)
+        fmt = EVAL if eval_form else COEFF
+        out = []
+        # Chunk at <= 4096 and pad each chunk to a power of two (repeat the
+        # last key): per-level batch widths vary freely and every fresh width
+        # was a fresh XLA compile; pow2 buckets capped at 4096 bound the
+        # compiled shape set to ~8 variants.
+        CH = 4096
+        for start in range(0, B, CH):
+            chunk = base_np[start : start + CH]
+            nb = chunk.shape[0]
+            pad = 1
+            while pad < nb:
+                pad *= 2
+            if pad != nb:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad - nb, axis=0)])
+            data = _batch_columns_planes(
+                jnp.asarray(chunk), params.jt.moduli, dist, nrow, params.n, ncol
             )
-            fmt = EVAL
-        host = np.asarray(data)  # one fetch; slices below are views
-        return [PolyMatrix(host[i], fmt, params) for i in range(B)]
+            if eval_form:
+                L = params.crt_depth
+                # [P, L, r, c, n] -> [L, P*r, c, n] for one batched NTT (still
+                # padded, so the NTT shape stays a pow2 bucket too)
+                flat = jnp.transpose(data, (1, 0, 2, 3, 4)).reshape(
+                    L, pad * nrow, ncol, params.n
+                )
+                flat = ntt_fwd(
+                    flat, params.jt.psi_rev_mont, params.jt.moduli, params.jt.qinv_neg
+                )
+                data = jnp.transpose(
+                    flat.reshape(L, pad, nrow, ncol, params.n), (1, 0, 2, 3, 4)
+                )
+            host = np.asarray(data)[:nb]  # one fetch; slices below are views
+            out.extend(PolyMatrix(host[i], fmt, params) for i in range(nb))
+        return out
 
     def sample_hash_decomposed(self, params, key, tag, nrow, ncol, dist) -> PolyMatrix:
         return self.sample_hash(params, key, tag, nrow, ncol, dist).decompose()

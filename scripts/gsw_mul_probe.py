@@ -8,7 +8,9 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # kernel env pins axon; must overwrite
+import jax
+jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import mxx_tpu  # noqa: F401

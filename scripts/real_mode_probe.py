@@ -14,7 +14,9 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # kernel env pins axon; must overwrite
+import jax
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -31,7 +33,7 @@ from mxx_tpu.lookup.debug import (
 def main():
     import tempfile
 
-    params = RingParams.new(4, 3, 10, 10)
+    params = RingParams.new(4, 2, 9, 9)
     cfg = PrfConfig(
         seed_bits=5,
         prf_mask_output_coeff_bits=1,
