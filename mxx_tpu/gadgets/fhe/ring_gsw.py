@@ -31,10 +31,12 @@ from ..arith.nested_rns import (
 
 class RingGswContext:
     def __init__(self, circuit: PolyCircuit, params, p_moduli_bits: int,
-                 max_unreduced_muls: int = 2, p_basis: str = "small"):
+                 max_unreduced_muls: int = 2, p_basis: str = "small",
+                 scale: int | None = None):
         self.params = params
         self.nested = NestedRnsPolyContext(circuit, params, p_moduli_bits,
-                                           max_unreduced_muls, p_basis=p_basis)
+                                           max_unreduced_muls, scale=scale,
+                                           p_basis=p_basis)
         self.q_big = math.prod(self.nested.q_moduli)
 
     def fresh_circuit(self) -> PolyCircuit:

@@ -498,7 +498,7 @@ class DiamondIO:
         if packed:
             final_seed_pks, prf_debug = prf.compute_public_key_path_packed(
                 lambda mid, m: self._write(d, mid, m),
-                pre_out, one_pubkey, selector_pks, seed_cts,
+                pre_out, one_pubkey, negk_pubkey, selector_pks, seed_cts,
                 k_modq, rng, self.error_sigma, pk_eval,
             )
         else:
@@ -656,7 +656,7 @@ class DiamondIO:
         if packed:
             final_seed_encs = prf.compute_seed_encoding_path_packed(
                 lambda mid: self._read(d, mid),
-                states[0], one_encoding, selector_encs, digits,
+                states[0], one_encoding, negk_encoding, selector_encs, digits,
                 obf.seed_cts, obf.prf_debug, enc_eval,
             )
         else:

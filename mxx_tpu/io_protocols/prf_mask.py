@@ -68,6 +68,11 @@ class PrfConfig:
     # "wide" = few large moduli (≈6x cheaper GSW muls — suits real-mode PRG
     # evaluation where LUT tables are free). See nested_rns.sample_crt_primes_wide.
     p_basis: str = "small"
+    # nested-RNS v-rounding scale (None = context default min(2^16, ...)):
+    # the real_to_v LUT has k*scale entries, so production-LWE-evaluator runs
+    # (one K_high preimage per table entry) must shrink it; precision needs
+    # only k < scale (see NestedRnsPolyContext rounding margin assert)
+    nested_rns_scale: int | None = None
     debug_encrypt_random_prg_wires: bool = False
     debug_reuse_single_material: bool = False
     refresh_wire_limit: int | None = None
@@ -104,7 +109,7 @@ class PrfMaskPipeline:
         # the context circuit only hosts the shared LUT registry
         self.ctx = RingGswContext(
             PolyCircuit(), params, config.p_moduli_bits, config.max_unreduced_muls,
-            p_basis=config.p_basis,
+            p_basis=config.p_basis, scale=config.nested_rns_scale,
         )
         self.refresher = NoiseRefresherNaiveVec(
             params, self.ctx, config.noise_refresh_v_bits, hash_key,
@@ -264,6 +269,53 @@ class PrfMaskPipeline:
             f"prf_round_{round_idx}_branch_{branch}_wire_{wire_idx}"
             f"_slot_{slot}_rebase_preimage"
         )
+
+    def _refresh_material_packed(self, k_coeffs: list[int], rng,
+                                 error_sigma: float) -> RefreshMaterialCts:
+        """PACKED refresh material for one (round, branch), shared by every
+        refreshed wire and slot: per gadget digit, ONE packed error ct whose
+        R' message carries an independent CBD value per payload coefficient,
+        and mask_levels * v_bits packed mask cts (one mask BIT per
+        coefficient each). This is the per-R'-coeff mask channel — material
+        no longer scales with the ring dimension n (VERDICT r2 #2)."""
+        from ..gadgets.fhe.packed_ring_gsw import native_encrypt_poly
+
+        params = self.params
+        ns = self.num_slots
+        q = self.ctx.q_big
+        digits = 1 if self.cfg.debug_reuse_single_material else params.modulus_digits
+        mask_levels = 1 if self.cfg.debug_reuse_single_material else params.crt_depth
+        v = self.cfg.noise_refresh_v_bits
+        eta = self.cfg.noise_refresh_cbd_n
+        errors, masks = [], []
+        for _ in range(digits):
+            cbd = [
+                (sum(rng.randrange(2) for _ in range(eta))
+                 - sum(rng.randrange(2) for _ in range(eta))) % q
+                for _ in range(ns)
+            ]
+            errors.append([
+                native_encrypt_poly(self.ctx, k_coeffs, cbd, rng, error_sigma)
+            ])
+            masks.append([
+                native_encrypt_poly(
+                    self.ctx, k_coeffs,
+                    [rng.randrange(2) for _ in range(ns)], rng, error_sigma,
+                )
+                for _ in range(mask_levels * v)
+            ])
+        return RefreshMaterialCts(errors=errors, masks=masks)
+
+    @staticmethod
+    def refresh_preimage_id_slot(round_idx: int, branch: int, wire_idx: int,
+                                 slot: int, crt_idx: int) -> str:
+        return (
+            f"prf_round_{round_idx}_branch_{branch}_wire_{wire_idx}"
+            f"_slot_{slot}_refresh_preimage_crt_{crt_idx}"
+        )
+
+    def refresh_id_slot(self, round_idx: int, wire_idx: int, slot: int) -> bytes:
+        return b"prf_r%d_w%d_s%d" % (round_idx, wire_idx, slot)
 
     def _refresh_material(self, k_int: int, rng, error_sigma: float
                           ) -> RefreshMaterialCts:
@@ -602,16 +654,17 @@ class PrfMaskPipeline:
         return branches
 
     def compute_public_key_path_packed(self, write_matrix, preprocess_out,
-                                       one_pk, selector_pks, seed_cts,
+                                       one_pk, negk_pk, selector_pks, seed_cts,
                                        k_coeffs: list[int], rng,
                                        error_sigma: float, plt_evaluator):
-        """Packed-payload pubkey path: per-round PRG over packed vec wires +
-        per-slot branch-rebase preimages. Deviation (documented): the
-        per-round noise refresh is NOT applied to packed wires yet — the
-        rebase alone re-bases onto branch-independent hash pubkeys, so
-        correctness holds with additive noise growth per round (packed
-        NoiseRefresherNaiveVec is the remaining depth item). Returns (final
-        seed vec wires, debug artifacts)."""
+        """Packed-payload pubkey path: per-round PRG over packed vec wires,
+        per-slot branch-rebase preimages, and the per-round PACKED noise
+        refresh — each slot is rebased onto its common hash pubkey and then
+        refreshed onto a per-slot A' through stored decoder preimages
+        (reference preprocess_many over NaiveBGGPublicKeyVec wires,
+        naive_vec.rs:840; per-slot a_prime keys :1549-1568). Refresh material
+        is ONE packed decode per (round, branch) shared across wires and
+        slots. Returns (final seed vec wires, debug artifacts)."""
         from ..bgg.vec import BGGPublicKeyVec
 
         params = self.params
@@ -620,6 +673,8 @@ class PrfMaskPipeline:
         debug = PrfDebugArtifacts()
         seed_wires = self.lift_slot_values(one_pk, self._ct_slot_values(seed_cts))
         td0, b0 = preprocess_out.final_checkpoint(0)
+        one_vec = BGGPublicKeyVec.new([one_pk] * ns)
+        negk_vec = BGGPublicKeyVec.new([negk_pk] * ns)
 
         for round_idx in range(self.input_count):
             with span("prf_pipeline.pk_round_packed", round_idx=round_idx):
@@ -645,21 +700,23 @@ class PrfMaskPipeline:
                     prg_wires = [
                         [w for chunk in branch for w in chunk]
                         for branch in self._eval_prg_round_packed(
-                            round_idx,
-                            BGGPublicKeyVec.new([one_pk] * ns),
-                            seed_wires, plt_evaluator,
+                            round_idx, one_vec, seed_wires, plt_evaluator,
                         )
                     ]
 
                 wire_count = len(prg_wires[0])
                 limit = min(cfg.refresh_wire_limit or wire_count, wire_count)
 
+                round_material = []
                 next_seed_wires = None
                 for branch in range(self.branch_count):
                     branch_sub = selector_pk - one_pk.small_scalar_mul(
                         params, [branch]
                     )
-                    branch_next = []
+                    # per-(wire, slot) rebase targets, batched into one pass
+                    commons = {}
+                    rebase_targets = []
+                    rebase_ids = []
                     for wire_idx in range(limit):
                         prg_vec = prg_wires[branch][wire_idx]
                         cols = prg_vec.keys[0].matrix.ncol
@@ -667,41 +724,97 @@ class PrfMaskPipeline:
                             round_idx, branch, wire_idx, cols
                         )
                         masked_sub = branch_sub.matrix_mul(params, mask)
-                        slot_keys = []
                         for slot in range(ns):
                             masked = prg_vec.keys[slot] + masked_sub
                             common = self._common_rebase_pk_slot(
                                 round_idx, wire_idx, slot, cols
                             )
-                            target = (common - masked.matrix).concat_rows(
-                                [PolyMatrix.zero(params, self.d, cols)]
+                            commons[(wire_idx, slot)] = common
+                            rebase_targets.append(
+                                (common - masked.matrix).concat_rows(
+                                    [PolyMatrix.zero(params, self.d, cols)]
+                                )
                             )
-                            write_matrix(
+                            rebase_ids.append(
                                 self.rebase_preimage_id_slot(
                                     round_idx, branch, wire_idx, slot
-                                ),
-                                self.trap.preimage(params, td0, b0, target),
+                                )
                             )
-                            slot_keys.append(BggPublicKey(common, True))
+                    for mid, pre in zip(
+                        rebase_ids,
+                        self.trap.preimage_batched_chunked(
+                            params, td0, b0, rebase_targets
+                        ),
+                    ):
+                        write_matrix(mid, pre)
+
+                    # shared PACKED refresh terms for this (round, branch)
+                    material = self._refresh_material_packed(
+                        k_coeffs, rng, error_sigma
+                    )
+                    round_material.append(material)
+                    terms = self.refresher.decoded_terms_packed(
+                        one_vec, negk_vec, material, plt_evaluator,
+                        lambda w: w.keys[0].matrix, ns,
+                    )
+                    branch_next = []
+                    refresh_targets = []
+                    refresh_ids = []
+                    for wire_idx in range(limit):
+                        slot_keys = []
+                        for slot in range(ns):
+                            a_prime_pk, refresh_keys = (
+                                self.refresher.preprocess_from_decoded(
+                                    self.refresh_id_slot(round_idx, wire_idx, slot),
+                                    one_pk,
+                                    BggPublicKey(commons[(wire_idx, slot)], True),
+                                    terms,
+                                )
+                            )
+                            for crt_idx, t in enumerate(refresh_keys):
+                                refresh_targets.append(
+                                    t.concat_rows(
+                                        [PolyMatrix.zero(params, self.d, t.ncol)]
+                                    )
+                                )
+                                refresh_ids.append(
+                                    self.refresh_preimage_id_slot(
+                                        round_idx, branch, wire_idx, slot, crt_idx
+                                    )
+                                )
+                            slot_keys.append(a_prime_pk)
                         branch_next.append(BGGPublicKeyVec.new(slot_keys))
+                    for mid, pre in zip(
+                        refresh_ids,
+                        self.trap.preimage_batched_chunked(
+                            params, td0, b0, refresh_targets
+                        ),
+                    ):
+                        write_matrix(mid, pre)
                     if next_seed_wires is None:
                         next_seed_wires = branch_next
+                debug.refresh_material.append(round_material)
                 seed_wires = next_seed_wires
 
         return seed_wires, debug
 
     def compute_seed_encoding_path_packed(self, read_matrix, state0, one_enc,
-                                          selector_encs, digits, seed_cts,
-                                          debug: PrfDebugArtifacts,
+                                          negk_enc, selector_encs, digits,
+                                          seed_cts, debug: PrfDebugArtifacts,
                                           plt_evaluator):
-        """Packed-payload encoding path for the runtime digits; reads the
-        per-slot rebase preimages. Returns the final seed vec encodings."""
+        """Packed-payload encoding path for the runtime digits: reads the
+        per-slot rebase preimages, then noise-refreshes every slot through
+        the stored per-(slot, crt) decoder preimages (reference
+        online_eval_many, naive_vec.rs:1077). Returns the final seed vec
+        encodings."""
         from ..bgg.vec import BGGEncodingVec
 
         params = self.params
         cfg = self.cfg
         ns = self.num_slots
         seed_wires = self.lift_slot_values(one_enc, self._ct_slot_values(seed_cts))
+        one_vec = BGGEncodingVec.new([one_enc] * ns)
+        negk_vec = BGGEncodingVec.new([negk_enc] * ns)
 
         for round_idx in range(self.input_count):
             with span("prf_pipeline.enc_round_packed", round_idx=round_idx):
@@ -715,8 +828,7 @@ class PrfMaskPipeline:
                     )
                 else:
                     all_branches = self._eval_prg_round_packed(
-                        round_idx, BGGEncodingVec.new([one_enc] * ns),
-                        seed_wires, plt_evaluator,
+                        round_idx, one_vec, seed_wires, plt_evaluator,
                     )
                     wire_vecs = [w for chunk in all_branches[branch] for w in chunk]
 
@@ -724,6 +836,12 @@ class PrfMaskPipeline:
                 limit = min(cfg.refresh_wire_limit or wire_count, wire_count)
                 branch_sub = selector_enc - one_enc.small_scalar_mul(
                     params, [branch]
+                )
+                # shared PACKED refresh terms for the selected branch
+                material = debug.refresh_material[round_idx][branch]
+                terms = self.refresher.decoded_terms_packed(
+                    one_vec, negk_vec, material, plt_evaluator,
+                    lambda w: w.encodings[0].vector, ns,
                 )
                 next_wires = []
                 for wire_idx in range(limit):
@@ -742,11 +860,23 @@ class PrfMaskPipeline:
                                 round_idx, branch, wire_idx, slot
                             )
                         )
+                        rebased = BggEncoding(
+                            state0 @ pre + masked.vector,
+                            BggPublicKey(common, True),
+                            prg_vec.encodings[slot].plaintext,
+                        )
+                        decoders = [
+                            state0 @ read_matrix(
+                                self.refresh_preimage_id_slot(
+                                    round_idx, branch, wire_idx, slot, crt_idx
+                                )
+                            )
+                            for crt_idx in range(params.crt_depth)
+                        ]
                         slot_encs.append(
-                            BggEncoding(
-                                state0 @ pre + masked.vector,
-                                BggPublicKey(common, True),
-                                prg_vec.encodings[slot].plaintext,
+                            self.refresher.online_eval_from_decoded(
+                                self.refresh_id_slot(round_idx, wire_idx, slot),
+                                one_enc, rebased, terms, decoders,
                             )
                         )
                     next_wires.append(BGGEncodingVec.new(slot_encs))

@@ -295,6 +295,155 @@ class NoiseRefresherNaiveVec:
             for crt_idx in range(crt_depth)
         ]
 
+    # ---------------------------------------- packed-payload refresh terms
+
+    def _packed_decrypt_circuit(self, n_digits: int, masks_per_digit: int,
+                                num_slots: int) -> PolyCircuit:
+        """All-digit all-CRT decrypt circuit for PACKED refresh material: per
+        gadget digit, ONE packed error ciphertext (its R' message carries one
+        CBD value per payload coefficient) and `mask_levels * v_bits` packed
+        mask ciphertexts (one bit PER COEFFICIENT each). Decryption rides the
+        subring embedding phi (decrypt_embedded): the output wire directly
+        carries the phi-embedded material polynomial — the reference's
+        `collapse_slot_matrices` rotation sum (naive_vec.rs:1983) is exactly
+        what phi-embedding already produces, so no collapse step exists here.
+
+        Inputs: per digit [error ct, mask cts...], then the phi(-k) key wire.
+        Outputs: per (digit, crt) one merged wire (decoded_error carries the
+        (q/q_i) scale; decoded+recentered mask floods the v_bits below the
+        rounding threshold at the embedded coefficients)."""
+        from ..gadgets.fhe.packed_ring_gsw import (
+            PackedRingGswCiphertext,
+            subring_stride,
+        )
+
+        ctx = self.ring_gsw
+        params = self.params
+        v = self.v_bits
+        crt_depth = params.crt_depth
+        mask_levels = max(1, masks_per_digit // v)
+        assert mask_levels * v == masks_per_digit, (masks_per_digit, v)
+        mask_moduli = mask_plaintext_moduli_from_full_modulus(ctx.q_big, v)
+        circuit = ctx.fresh_circuit()
+        digit_cts = []
+        for _ in range(n_digits):
+            err = PackedRingGswCiphertext.input(ctx, circuit, num_slots)
+            masks = [
+                PackedRingGswCiphertext.input(ctx, circuit, num_slots)
+                for _ in range(masks_per_digit)
+            ]
+            digit_cts.append((err, masks))
+        negk = circuit.input(1)[0]
+
+        stride = subring_stride(params, num_slots)
+        midpoint = 1 << (v - 1)
+        mid_coeffs = [0] * params.n
+        for s in range(num_slots):
+            mid_coeffs[s * stride] = midpoint
+        mid_wire = circuit.const_poly(
+            Poly.from_int_coeffs(params, mid_coeffs).to_coeff()
+        )
+
+        outputs = []
+        for err, masks in digit_cts:
+            dec_masks: dict[int, int] = {}
+
+            def mask_wire(lvl, masks=masks, dec_masks=dec_masks):
+                if lvl not in dec_masks:
+                    acc = None
+                    for bit_idx, t in enumerate(mask_moduli):
+                        sd, pb = masks[lvl * v + bit_idx].decrypt_embedded(
+                            circuit, params, negk, t
+                        )
+                        term = circuit.add_gate(sd, pb)
+                        acc = term if acc is None else circuit.add_gate(acc, term)
+                    dec_masks[lvl] = circuit.add_gate(acc, mid_wire)
+                return dec_masks[lvl]
+
+            for crt_idx in range(crt_depth):
+                sd, pb = err.decrypt_embedded(
+                    circuit, params, negk, int(params.moduli[crt_idx])
+                )
+                dec_err = circuit.add_gate(sd, pb)
+                outputs.append(
+                    circuit.add_gate(
+                        dec_err, mask_wire(min(crt_idx, mask_levels - 1))
+                    )
+                )
+        circuit.output(outputs)
+        return circuit
+
+    def decoded_terms_packed(self, one_vec, negk_vec, material: RefreshMaterialCts,
+                             plt_evaluator, extract, num_slots: int
+                             ) -> list[PolyMatrix]:
+        """Per-CRT refresh-term matrices from PACKED native material cts,
+        computed ONCE per (round, branch) and shared by every refreshed wire
+        and every slot. `extract` maps a slot-uniform VEC wire to its scalar
+        matrix/vector (e.g. lambda w: w.keys[0].matrix). Deviation from the
+        reference (documented): the reference gives each refreshed slot an
+        independent decoded material set (naive_vec.rs decoded idx includes
+        slot_idx, ns x more material); here one phi-embedded polynomial per
+        (digit, crt) is shared across slots — correctness is unaffected (any
+        small fresh polynomial refreshes), hiding is the packed-material
+        analog of the shared-material choice the scalar path already makes
+        per (round, branch)."""
+        from ..gadgets.fhe.packed_ring_gsw import packed_input_values
+        from ..lookup.vec_eval import SlotwisePltEvaluator
+        from ..slot_transfer import BGGVecSlotTransferEvaluator
+        from ..bgg.vec import BGGEncodingVec, BGGPublicKeyVec
+
+        params = self.params
+        ctx = self.ring_gsw
+        n_digits = len(material.errors)
+        masks_per_digit = len(material.masks[0])
+        ckey = ("packed", n_digits, masks_per_digit, num_slots)
+        if ckey not in self._decrypt_circuits:
+            self._decrypt_circuits[ckey] = self._packed_decrypt_circuit(
+                n_digits, masks_per_digit, num_slots
+            )
+        circuit = self._decrypt_circuits[ckey]
+
+        # lift packed ct values onto vec wires (slot s = R' coefficient s)
+        cts = []
+        for digit_idx in range(n_digits):
+            assert len(material.errors[digit_idx]) == 1, (
+                "packed material carries ONE error ct per digit"
+            )
+            cts.append(material.errors[digit_idx][0])
+            cts.extend(material.masks[digit_idx])
+        slot_values: list[list[int]] = []
+        for ct in cts:
+            slot_values.extend(packed_input_values(ctx, ct))
+        one_scalar = (
+            one_vec.keys[0] if isinstance(one_vec, BGGPublicKeyVec) else one_vec.encodings[0]
+        )
+        from ..bgg.lift import lift_constants_batched
+
+        ns = num_slots
+        flat = [v for w in slot_values for v in w]
+        lifted = lift_constants_batched(params, one_scalar, flat)
+        ctor = (
+            BGGPublicKeyVec.new if isinstance(one_vec, BGGPublicKeyVec) else BGGEncodingVec.new
+        )
+        wires = [
+            ctor(lifted[w * ns : (w + 1) * ns]) for w in range(len(slot_values))
+        ]
+
+        with span("noise_refresh.packed_material_decrypt", gates=circuit.num_gates()):
+            results = circuit.eval(
+                params, one_vec, wires + [negk_vec],
+                plt_evaluator=SlotwisePltEvaluator(plt_evaluator),
+                slot_transfer_evaluator=BGGVecSlotTransferEvaluator(),
+            )
+        crt_depth = params.crt_depth
+        decoded = [
+            results[d * crt_depth : (d + 1) * crt_depth] for d in range(n_digits)
+        ]
+        return [
+            self._term_matrix(decoded, crt_idx, extract)
+            for crt_idx in range(crt_depth)
+        ]
+
     # ------------------------------------------------------------ offline
 
     def preprocess_from_decoded(self, refresh_id: bytes, one_pk: BggPublicKey,

@@ -50,18 +50,18 @@ def main():
 
     kinds = Counter()
     lut_gates = []
-    for gid, g in c.gates.items():
+    for g in c.gates:
         kinds[g.kind] += 1
-        if g.kind == "pub_lut":
+        if g.kind == "PubLut":
             lut_gates.append(g)
     print(f"decrypt circuit: {c.num_gates()} gates, kinds={dict(kinds)}")
     total_entries = 0
     per_lut = Counter()
     for g in lut_gates:
-        lut = c.luts[g.lut_id]
+        lut = c.luts[g.payload]
         n_e = len(list(lut.entries(params)))
         total_entries += n_e
-        per_lut[g.lut_id] += 1
+        per_lut[g.payload] += 1
     print(f"pub_lut gates={len(lut_gates)} total K_high rows={total_entries}")
     print(f"per lut_id gate counts: {dict(per_lut)}")
     for lid in per_lut:
