@@ -97,6 +97,57 @@ def simulate_aky24_io(io: Aky24IO, circuit, plt_norm=None) -> Aky24IOErrorSimula
     )
 
 
+@dataclass
+class Aky24IOBenchEstimate:
+    """Reference src/io/aky24_io/bench_estimator.rs: obfuscate = PRF-round
+    pubkey evals + rebase/refresh preimages + projections (NO injector —
+    fresh Gaussian encodings); eval = selected-branch PRF encoding evals +
+    function circuit + masked decode."""
+
+    obfuscate_latency_secs: float
+    eval_latency_secs: float
+    prf_preimage_count: int
+    max_parallelism: int
+
+
+def estimate_aky24_io(
+    io: Aky24IO,
+    circuit,
+    parallelism: int = 1,
+    preimage_cost: float | None = None,
+    gate_costs=None,
+) -> Aky24IOBenchEstimate:
+    from ..bench_estimator import estimate_circuit, measure_bgg_encoding_costs
+    from ..circuit.analysis import GroupedExecutionPlan
+    from .bench_estimator import measure_preimage_cost
+
+    params = io.params
+    if preimage_cost is None:
+        preimage_cost = measure_preimage_cost(params, d=io.secret_size)
+    if gate_costs is None:
+        gate_costs = measure_bgg_encoding_costs(params)
+    est = estimate_circuit(circuit, gate_costs, parallelism)
+    plan = GroupedExecutionPlan.from_circuit(circuit)
+    branch_count = 1 << io.prf_batch_bits
+    # per round x branch x seed wire: 1 rebase + crt_depth refresh preimages
+    prf_preimages = (
+        io.prf_rounds * branch_count * io.seed_bits
+        * (1 + params.crt_depth)
+    )
+    projections = io.input_size + 1 + io.output_size
+    obf_latency = (
+        (prf_preimages + projections) * preimage_cost / max(parallelism, 1)
+        + 2 * est.latency_secs  # pubkey-path PRF + function evals
+    )
+    eval_latency = est.latency_secs + io.output_size * 2 * gate_costs.cost("Mul")
+    return Aky24IOBenchEstimate(
+        obfuscate_latency_secs=obf_latency,
+        eval_latency_secs=eval_latency,
+        prf_preimage_count=prf_preimages,
+        max_parallelism=max(plan.max_parallelism, parallelism),
+    )
+
+
 def aky24_io_find_crt_depth(
     make_circuit,
     ring_dimension: int,

@@ -44,10 +44,11 @@ Payload modes:
   key multiplication rides phi: X' -> X^{n/ns} (an exact subring
   homomorphism), so the in-circuit decrypt is slot-fold + ONE plain mul
   against the k wire, whose injector-channel plaintext is phi(k). Per-round
-  seed evolution rebases EVERY slot through stored preimages; the per-round
-  noise REFRESH is not yet applied to packed wires (rebase keeps the
-  pubkeys branch-independent, so correctness holds with additive noise
-  growth per round — packed NoiseRefresherNaiveVec is the remaining item).
+  seed evolution rebases EVERY slot through stored preimages and then
+  noise-REFRESHES every slot through stored per-(slot, crt) decoder
+  preimages (packed NoiseRefresherNaiveVec path: ONE packed material
+  decode per (round, branch) shared across wires and slots — the
+  per-R'-coeff channel, so refresh material does not scale with n).
 
 Other deviations (documented): the obfuscated function is an arbitrary
 builder circuit (the reference's FuncType is the Goldreich PRF itself; the
@@ -728,23 +729,23 @@ def diamond_io_find_crt_depth(
     trapdoor_sigma: float = 4.578,
     secret_size: int = DIAMOND_SECRET_SIZE,
     plt_norm_factory=None,
+    prf_config=None,
 ):
-    """Smallest crt_depth with a positive simulated decode margin: the
-    injector chain error bound (simulate_output_error_bounds) composed with
-    the output-projection preimage feeds the wrapped-circuit norm simulation,
-    and the result must clear q/4 (reference diamond_io_find_crt_depth,
-    io/diamond_io/simulation.rs). Returns (depth, params) or None."""
-    from decimal import Decimal
-
+    """Smallest crt_depth with a positive decode margin under the COMPOSED
+    protocol budget: injector transition bounds -> stored output projection
+    -> per-round PRF evolution (PRG circuit over norms, rebase preimage term,
+    refresh rounding) -> final mask PRG/decrypt -> function circuit ->
+    masked-decode projection, against q/4 (reference
+    diamond_io_find_crt_depth, io/diamond_io/simulation.rs +
+    io/utils/simulation.rs). Returns (depth, params) or None."""
     from ..input_injector import DiamondInjector
-    from ..input_injector.simulation import simulate_output_error_bounds
     from ..ring.params import RingParams
-    from ..simulator import (
-        NormPltLWEEvaluator,
-        SimulatorContext,
-        bits_ceil,
-        simulate_max_error_norm,
+    from .prf_mask import PrfConfig, PrfMaskPipeline
+    from .protocol_simulation import (
+        diamond_compose_input_error,
+        simulate_prf_protocol_error,
     )
+    from ..sampler import TrapdoorSampler
 
     for depth in range(1, max_depth + 1):
         params = RingParams.new(ring_dimension, depth, crt_bits, base_bits)
@@ -752,24 +753,35 @@ def diamond_io_find_crt_depth(
             params, input_count, 1 << batch_bits, batch_bits,
             trapdoor_sigma, error_sigma, secret_size=secret_size,
         )
-        sim = simulate_output_error_bounds(injector)
-        worst_state = max(e.poly_norm.norm for e in sim.state_errors)
-        # encoding error after the stored output projection
-        e_enc = worst_state * sim.output_preimage.poly_norm.norm * Decimal(
-            sim.output_preimage.nrow
-        ).sqrt()
-        ctx = SimulatorContext.for_params(params, secret_size)
-        circuit = make_circuit(params)
-        plt_norm = (
-            plt_norm_factory(ctx)
-            if plt_norm_factory is not None
-            else NormPltLWEEvaluator(ctx, Decimal(error_sigma))
+        e_enc, worst_state = diamond_compose_input_error(
+            params, injector, trapdoor_sigma
         )
-        outs = simulate_max_error_norm(
-            circuit, ctx, Decimal(1), circuit.num_input, e_enc,
-            plt_evaluator=plt_norm,
+        # the simulated circuit shapes come from the PRF config; the default
+        # wide p-basis keeps the nested-RNS budget constructible at large
+        # crt_bits with a small basis (the GSW-mul budget needs muls=2) —
+        # pass the production config to price a real deployment
+        cfg = prf_config or PrfConfig(
+            max_unreduced_muls=2, p_moduli_bits=16, p_basis="wide"
         )
-        err_bits = max(bits_ceil(o.matrix_norm.poly_norm.norm) for o in outs)
-        if err_bits < (params.modulus // 4).bit_length():
+        try:
+            prf = PrfMaskPipeline(
+                params, cfg, b"\0" * 32,
+                TrapdoorSampler(params, trapdoor_sigma, seed=0),
+                input_count, batch_bits, secret_size=secret_size,
+            )
+        except (ValueError, AssertionError):
+            # the candidate modulus cannot even host the nested-RNS basis
+            # (LUT domain or budget) — depth insufficient
+            continue
+        sim = simulate_prf_protocol_error(
+            params, prf, make_circuit(params),
+            input_error_norm=e_enc,
+            state_error_norm=worst_state,
+            error_sigma=error_sigma,
+            trapdoor_sigma=trapdoor_sigma,
+            secret_size=secret_size,
+            plt_norm_factory=plt_norm_factory,
+        )
+        if sim.ok:
             return depth, params
     return None

@@ -482,19 +482,25 @@ class PrfMaskPipeline:
 
         return seed_wires, debug
 
-    def _eval_prg_round(self, round_idx, one_wire, seed_wires, plt_evaluator,
-                        only_branch: int | None = None):
-        """Real mode: Goldreich PRG over Ring-GSW ciphertext wires. Offline
-        evaluates every branch; online passes `only_branch` to evaluate just
-        the selected RANGE of the conceptual round graph (reference
-        build_goldreich_prg_range_circuit, utils.rs:747 / eval-side range)."""
+    def build_prg_round_circuit(self, round_idx: int,
+                                only_branch: int | None = None,
+                                representative: bool = False) -> PolyCircuit:
+        """The per-round Goldreich-PRG-over-Ring-GSW circuit (reference
+        build_goldreich_prg_range_circuit, utils.rs:747): inputs are
+        seed_bits ciphertexts' wires, outputs the (range of) next-seed
+        ciphertext wires. Exposed so the protocol error simulation can
+        evaluate the SAME circuit over ErrorNorm wires; `representative=True`
+        emits ONE output edge (every edge has the same norm structure — the
+        reference's representative-unit pattern, error_simulation.rs)."""
         out_bits = self.cfg.seed_bits * self.branch_count
         circuit = self.ctx.fresh_circuit()
         seeds = [
             RingGswCiphertext.input(self.ctx, circuit)
             for _ in range(self.cfg.seed_bits)
         ]
-        if only_branch is None:
+        if representative:
+            range_start, range_len = 0, 1
+        elif only_branch is None:
             range_start, range_len = 0, out_bits
         else:
             range_start = only_branch * self.cfg.seed_bits
@@ -508,6 +514,15 @@ class PrfMaskPipeline:
         for ct in outs:
             flat.extend(ct.flatten())
         circuit.output(flat)
+        return circuit
+
+    def _eval_prg_round(self, round_idx, one_wire, seed_wires, plt_evaluator,
+                        only_branch: int | None = None):
+        """Real mode: Goldreich PRG over Ring-GSW ciphertext wires. Offline
+        evaluates every branch; online passes `only_branch` to evaluate just
+        the selected RANGE of the conceptual round graph (reference
+        build_goldreich_prg_range_circuit, utils.rs:747 / eval-side range)."""
+        circuit = self.build_prg_round_circuit(round_idx, only_branch)
         with span("prf_pipeline.prg_round_circuit", gates=circuit.num_gates(),
                   round_idx=round_idx):
             results = circuit.eval(

@@ -33,7 +33,7 @@ from mxx_tpu.lookup.debug import (
 def main():
     import tempfile
 
-    params = RingParams.new(4, 2, 9, 9)
+    params = RingParams.new(2, 2, 9, 9)
     cfg = PrfConfig(
         seed_bits=5,
         prf_mask_output_coeff_bits=1,
