@@ -51,6 +51,15 @@ def circuit_live_bytes_budget() -> int:
     return _env_int("MXX_CIRCUIT_LIVE_BYTES_BUDGET", 0)
 
 
+def offload_budget_bytes() -> int:
+    """Device-resident budget for accumulated offline plane operands (LWE
+    K_high preimage targets and similar): beyond it, assembled targets spill
+    to host/disk memmaps (matrix/offload.py) and rehydrate chunk-by-chunk
+    inside the batched preimage pass — the reference's disk-backed matrix
+    backend made drop-in (matrix/base/disk.rs:18-40). 0 = unbounded."""
+    return _env_int("MXX_OFFLOAD_BUDGET_BYTES", 0)
+
+
 def diamond_io_eval_relation_asserts() -> bool:
     return os.environ.get("MXX_DIAMOND_IO_EVAL_RELATION_ASSERTS", "") == "1"
 

@@ -184,9 +184,27 @@ class LWEBGGPubKeyPltEvaluator:
                 for i in range(E)
             ]
 
+        # out-of-core budget (reference disk-backed matrices as a drop-in
+        # backend, matrix/base/disk.rs:18-40): once accumulated targets
+        # exceed MXX_OFFLOAD_BUDGET_BYTES of device memory, further chunks
+        # spill to host/disk memmaps and rehydrate inside the batched
+        # preimage pass chunk-by-chunk
+        from .. import config
+        from ..matrix.offload import offload_matrix
+
+        budget = config.offload_budget_bytes()
+        entry_bytes = L * d * m_g * n * 4
         targets = []
+        live_bytes = 0
+        self.last_offloaded_targets = 0
         for start in range(0, len(entries), chunk_e):
-            targets.extend(assemble(entries[start : start + chunk_e]))
+            for t in assemble(entries[start : start + chunk_e]):
+                if budget and live_bytes + entry_bytes > budget:
+                    targets.append(offload_matrix(t))
+                    self.last_offloaded_targets += 1
+                else:
+                    targets.append(t)
+                    live_bytes += entry_bytes
 
         # all rows share (B, T): one batched program family, column axis
         # sharded over the mesh (reference multi-GPU k_high fan-out,
@@ -194,6 +212,9 @@ class LWEBGGPubKeyPltEvaluator:
         k_highs = self.trap_sampler.preimage_batched_chunked(
             params, self.trapdoor, self.pub_matrix, targets, mesh=self.mesh
         )
+        for t in targets:
+            if hasattr(t, "delete"):
+                t.delete()
         rows = list(zip(ks, k_highs))
         return get_lookup_buffer(rows, k_high_checkpoint_prefix(gate_id, lut_id, slot_idx))
 

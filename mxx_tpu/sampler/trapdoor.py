@@ -513,8 +513,14 @@ class TrapdoorSampler:
         repeats of the last target so every dispatch hits the same compiled
         program — a cold preimage compile costs ~60s on the tunneled TPU vs
         ~0.5s steady-state, so one shape family per pass matters more than the
-        wasted pad columns."""
+        wasted pad columns.
+
+        Targets may be `matrix.offload.OffloadedMatrix` entries (host/disk
+        memmaps): they rehydrate chunk-by-chunk here, so an out-of-core
+        offline plane streams through the device one request chunk at a time
+        (reference disk-backed matrices, matrix/base/disk.rs:18-40)."""
         from .. import config
+        from ..matrix.offload import OffloadedMatrix
 
         chunk = chunk or config.lut_preimage_chunk_size()
         uniform = len({t.ncol for t in targets}) == 1
@@ -523,9 +529,13 @@ class TrapdoorSampler:
             targets = list(targets) + [targets[-1]] * (chunk - n_real % chunk)
         outs: list[PolyMatrix] = []
         for i in range(0, len(targets), chunk):
+            hydrated = [
+                t.load() if isinstance(t, OffloadedMatrix) else t
+                for t in targets[i : i + chunk]
+            ]
             outs.extend(
                 self.preimage_batched_sharded(
-                    params, trapdoor, public_matrix, targets[i : i + chunk], mesh=mesh
+                    params, trapdoor, public_matrix, hydrated, mesh=mesh
                 )
             )
         return outs[:n_real]
