@@ -233,7 +233,13 @@ def _unstack(params, data, count, rows):
 
 
 def _stack_polys(polys, params):
+    import numpy as np
+
     datas = [p.to_eval().data for p in polys]  # each [L, n]
+    if all(isinstance(d, np.ndarray) for d in datas):
+        # host stack: jnp.stack traces a convert per operand — thousands of
+        # small host arrays per level made the stack itself the bottleneck
+        return np.stack(datas, axis=1)
     return jnp.stack(datas, axis=1)  # [L, B, n]
 
 
@@ -242,6 +248,37 @@ def _batched_ew(kind, params, a_data, b_data):
     if kind == ADD:
         return ew_add(a_data, b_data, jt.moduli)
     return ew_sub(a_data, b_data, jt.moduli)
+
+
+def _batched_plaintexts(kind, params, pas, pbs):
+    """Batched plaintext +/-/* for B gates: ONE device program + ONE host
+    fetch, numpy-view Poly results (per-gate Poly ops were a device dispatch
+    per gate — with thousands of gates per level the dispatches dominated).
+    Gates with a missing operand plaintext get None, as in the per-gate
+    path."""
+    import numpy as np
+
+    from ..ring.poly import EVAL, Poly
+
+    present = [
+        i for i in range(len(pas)) if pas[i] is not None and pbs[i] is not None
+    ]
+    out_list = [None] * len(pas)
+    if not present:
+        return out_list
+    jt = params.jt
+    a = _stack_polys([pas[i] for i in present], params)  # [L, P, n]
+    b = _stack_polys([pbs[i] for i in present], params)
+    if kind == ADD:
+        out = ew_add(a, b, jt.moduli)
+    elif kind == SUB:
+        out = ew_sub(a, b, jt.moduli)
+    else:
+        out = ew_mul(a, b, jt.moduli, jt.qinv_neg, jt.r2)
+    host = np.asarray(out)
+    for j, i in enumerate(present):
+        out_list[i] = Poly(host[:, j], EVAL, params)
+    return out_list
 
 
 def _exec_add_sub(circuit, params, gates, wires):
@@ -268,17 +305,17 @@ def _exec_add_sub(circuit, params, gates, wires):
         _stack([(w.pubkey.matrix if enc else w.matrix) for w in ins_b], params),
     )
     pks = _unstack(params, pk, len(gates), prow)
+    if enc:
+        pts = _batched_plaintexts(
+            kind, params,
+            [w.plaintext for w in ins_a], [w.plaintext for w in ins_b],
+        )
     outs = []
     for i in range(n_real):
         a, b = ins_a[i], ins_b[i]
         if enc:
-            pt = (
-                (a.plaintext + b.plaintext if kind == ADD else a.plaintext - b.plaintext)
-                if a.plaintext is not None and b.plaintext is not None
-                else None
-            )
             reveal = a.pubkey.reveal_plaintext and b.pubkey.reveal_plaintext
-            outs.append(BggEncoding(vecs[i], BggPublicKey(pks[i], reveal), pt))
+            outs.append(BggEncoding(vecs[i], BggPublicKey(pks[i], reveal), pts[i]))
         else:
             outs.append(BggPublicKey(pks[i], a.reveal_plaintext and b.reveal_plaintext))
     return outs
@@ -317,12 +354,18 @@ def _exec_scalar_mul(circuit, params, gates, wires, resolve):
     pks = mul_stacked([(w.pubkey.matrix if enc else w.matrix) for w in ins])
     if enc:
         vecs = mul_stacked([w.vector for w in ins])
+        pts = _batched_plaintexts(
+            MUL, params, [w.plaintext for w in ins], scalars
+        )
     outs = []
     for i in range(n_real):
         w = ins[i]
         if enc:
-            pt = w.plaintext * scalars[i] if w.plaintext is not None else None
-            outs.append(BggEncoding(vecs[i], BggPublicKey(pks[i], w.pubkey.reveal_plaintext), pt))
+            outs.append(
+                BggEncoding(
+                    vecs[i], BggPublicKey(pks[i], w.pubkey.reveal_plaintext), pts[i]
+                )
+            )
         else:
             outs.append(BggPublicKey(pks[i], w.reveal_plaintext))
     return outs
@@ -407,16 +450,17 @@ def _exec_mul(circuit, params, gates, wires):
         first_flat = jnp.transpose(first, (1, 0, 2, 3, 4)).reshape(fL, fB * fr, fc, fn)
         vec = ew_add(first_flat, second, jt.moduli)
         vecs = _unstack(params, vec, B, rows)
+        pts = _batched_plaintexts(
+            MUL, params,
+            [w.plaintext for w in ins_a], [w.plaintext for w in ins_b],
+        )
         outs = []
         for i in range(n_real):
             a, b = ins_a[i], ins_b[i]
             reveal = a.pubkey.reveal_plaintext and b.pubkey.reveal_plaintext
-            pt = (
-                a.plaintext * b.plaintext
-                if a.plaintext is not None and b.plaintext is not None
-                else None
+            outs.append(
+                BggEncoding(vecs[i], BggPublicKey(outs_pk[i], reveal), pts[i])
             )
-            outs.append(BggEncoding(vecs[i], BggPublicKey(outs_pk[i], reveal), pt))
         return outs
     return [
         BggPublicKey(outs_pk[i], ins_a[i].reveal_plaintext and ins_b[i].reveal_plaintext)
@@ -454,15 +498,17 @@ def _exec_large_scalar_mul(circuit, params, gates, wires, resolve):
     if enc:
         vec_in = _to_eval_stackb(params, [w.vector for w in ins])
         out_vec = _np_views_b(_vmapped_matmul(params, vec_in, dec))
+        pts = _batched_plaintexts(
+            MUL, params, [w.plaintext for w in ins], scalars
+        )
         outs = []
         for i in range(n_real):
             w = ins[i]
-            pt = w.plaintext * scalars[i] if w.plaintext is not None else None
             outs.append(
                 BggEncoding(
                     PolyMatrix(out_vec[i], EVAL, params),
                     BggPublicKey(pks[i], w.pubkey.reveal_plaintext),
-                    pt,
+                    pts[i],
                 )
             )
         return outs

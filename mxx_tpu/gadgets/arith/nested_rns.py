@@ -102,6 +102,15 @@ def _round_div(a: int, b: int) -> int:
     return (a + b // 2) // b
 
 
+def _boundary_bounds(ctx, level_offset: int, active, canonical: bool) -> list[int]:
+    if canonical:
+        return [q - 1 for q in active]
+    return [
+        ctx.full_reduce_max_plaintexts[level_offset + i]
+        for i in range(len(active))
+    ]
+
+
 class NestedRnsPolyContext:
     """Precomputed constants + registered LUT ids for one configuration."""
 
@@ -300,21 +309,31 @@ class NestedRnsPoly:
 
     @staticmethod
     def input(ctx: NestedRnsPolyContext, circuit: PolyCircuit,
-              level_offset: int = 0, enable_levels: int | None = None) -> "NestedRnsPoly":
+              level_offset: int = 0, enable_levels: int | None = None,
+              canonical: bool = True) -> "NestedRnsPoly":
+        """Fresh input wires.
+
+        `canonical=True` (fresh native lifts): level values < q, the tight
+        bound. `canonical=False` (circuit-boundary HANDOFF of round outputs
+        that ended with full_reduce — see RingGswCiphertext.reduced): level
+        representatives up to the full-reduce bound (sum_p + k) * q, traces
+        < p_max. Assuming q-1 for handoff wires silently under-provisioned
+        LUT reductions (real-mode round outputs overflowed LUT domains)."""
         active = ctx.active_q(level_offset, enable_levels)
         wires = [circuit.input(ctx.k) for _ in active]
         return NestedRnsPoly(
             ctx, wires, level_offset, enable_levels,
-            value_bounds=[q - 1 for q in active],
+            value_bounds=_boundary_bounds(ctx, level_offset, active, canonical),
             trace_bounds=[ctx.p_max - 1] * len(active),
         )
 
     @staticmethod
     def from_wires(ctx: NestedRnsPolyContext, circuit_wires,
-                   level_offset: int = 0, enable_levels: int | None = None
-                   ) -> "NestedRnsPoly":
+                   level_offset: int = 0, enable_levels: int | None = None,
+                   canonical: bool = True) -> "NestedRnsPoly":
         """Rebuild a nested poly from existing gate ids in `flatten()` order
-        (wires produced by input gates, const gates, or sub-circuit calls)."""
+        (wires produced by input gates, const gates, or sub-circuit calls).
+        Same canonical/handoff bound switch as `input` (see there)."""
         active = ctx.active_q(level_offset, enable_levels)
         k = ctx.k
         ids = list(circuit_wires)
@@ -322,7 +341,7 @@ class NestedRnsPoly:
         wires = [ids[lvl * k : (lvl + 1) * k] for lvl in range(len(active))]
         return NestedRnsPoly(
             ctx, wires, level_offset, enable_levels,
-            value_bounds=[q - 1 for q in active],
+            value_bounds=_boundary_bounds(ctx, level_offset, active, canonical),
             trace_bounds=[ctx.p_max - 1] * len(active),
         )
 

@@ -223,19 +223,25 @@ class PackedRingGswCiphertext:
 
     @staticmethod
     def input(ctx: RingGswContext, circuit: PolyCircuit, num_slots: int,
-              max_plaintext: int = 1) -> "PackedRingGswCiphertext":
+              max_plaintext: int = 1, canonical: bool = True
+              ) -> "PackedRingGswCiphertext":
         rows = tuple(
-            [NestedRnsPoly.input(ctx.nested, circuit) for _ in range(ctx.width)]
+            [
+                NestedRnsPoly.input(ctx.nested, circuit, canonical=canonical)
+                for _ in range(ctx.width)
+            ]
             for _ in range(2)
         )
         return PackedRingGswCiphertext(ctx, rows, num_slots, max_plaintext)
 
     @staticmethod
     def from_wires(ctx: RingGswContext, wires, num_slots: int,
-                   max_plaintext: int = 1) -> "PackedRingGswCiphertext":
+                   max_plaintext: int = 1, canonical: bool = True
+                   ) -> "PackedRingGswCiphertext":
         """Rebuild from gate ids in `flatten()` order (mirrors
         RingGswCiphertext.from_wires; slot packing lives in the wire VALUES,
-        so the wire count per ciphertext is identical to the scalar case)."""
+        so the wire count per ciphertext is identical to the scalar case).
+        `canonical=False` for round-output handoffs."""
         per_entry = ctx.nested.q_moduli_depth * ctx.nested.k
         ids = list(wires)
         assert len(ids) == 2 * ctx.width * per_entry, (len(ids), ctx.width, per_entry)
@@ -244,7 +250,9 @@ class PackedRingGswCiphertext:
         for i in range(2):
             for _ in range(ctx.width):
                 rows[i].append(
-                    NestedRnsPoly.from_wires(ctx.nested, ids[pos : pos + per_entry])
+                    NestedRnsPoly.from_wires(
+                        ctx.nested, ids[pos : pos + per_entry], canonical=canonical
+                    )
                 )
                 pos += per_entry
         return PackedRingGswCiphertext(ctx, rows, num_slots, max_plaintext)
@@ -317,6 +325,18 @@ class PackedRingGswCiphertext:
         p = self.mul(other, circuit)
         out = s.sub(p, circuit).sub(p, circuit)
         return PackedRingGswCiphertext(out.ctx, out.rows, out.num_slots, 1)
+
+    def reduced(self, circuit: PolyCircuit) -> "PackedRingGswCiphertext":
+        """Full-reduce out-of-bound entries (circuit-boundary form; see
+        RingGswCiphertext.reduced)."""
+        from .ring_gsw import _entry_reduced
+
+        rows = tuple(
+            [_entry_reduced(e, circuit) for e in row] for row in self.rows
+        )
+        return PackedRingGswCiphertext(
+            self.ctx, rows, self.num_slots, self.max_plaintext
+        )
 
     def combined_halves(self, circuit: PolyCircuit, plaintext_modulus: int
                         ) -> tuple[int, int]:

@@ -65,6 +65,17 @@ class RingGswContext:
         return probe.gadget_scalars()
 
 
+def _entry_reduced(e: NestedRnsPoly, circuit: PolyCircuit) -> NestedRnsPoly:
+    """Full-reduce an entry unless it already satisfies the circuit-boundary
+    bound (values <= full_reduce bound, traces < p_max)."""
+    ctx = e.ctx
+    ok = all(
+        v <= ctx.full_reduce_max_plaintexts[e.level_offset + i]
+        for i, v in enumerate(e.value_bounds)
+    ) and all(t <= ctx.p_max - 1 for t in e.trace_bounds)
+    return e if ok else e.full_reduce(circuit)
+
+
 @dataclass
 class RingGswCiphertext:
     ctx: RingGswContext
@@ -73,18 +84,22 @@ class RingGswCiphertext:
 
     @staticmethod
     def input(ctx: RingGswContext, circuit: PolyCircuit,
-              max_plaintext: int = 1) -> "RingGswCiphertext":
+              max_plaintext: int = 1, canonical: bool = True) -> "RingGswCiphertext":
         rows = tuple(
-            [NestedRnsPoly.input(ctx.nested, circuit) for _ in range(ctx.width)]
+            [
+                NestedRnsPoly.input(ctx.nested, circuit, canonical=canonical)
+                for _ in range(ctx.width)
+            ]
             for _ in range(2)
         )
         return RingGswCiphertext(ctx, rows, max_plaintext)
 
     @staticmethod
     def from_wires(ctx: RingGswContext, wires,
-                   max_plaintext: int = 1) -> "RingGswCiphertext":
+                   max_plaintext: int = 1, canonical: bool = True) -> "RingGswCiphertext":
         """Rebuild a ciphertext from gate ids in `flatten()` order (existing
-        input/const/sub-circuit wires)."""
+        input/const/sub-circuit wires). `canonical=False` for round-output
+        handoffs (see NestedRnsPoly.input)."""
         per_entry = ctx.nested.q_moduli_depth * ctx.nested.k
         ids = list(wires)
         assert len(ids) == 2 * ctx.width * per_entry, (len(ids), ctx.width, per_entry)
@@ -93,7 +108,9 @@ class RingGswCiphertext:
         for i in range(2):
             for _ in range(ctx.width):
                 rows[i].append(
-                    NestedRnsPoly.from_wires(ctx.nested, ids[pos : pos + per_entry])
+                    NestedRnsPoly.from_wires(
+                        ctx.nested, ids[pos : pos + per_entry], canonical=canonical
+                    )
                 )
                 pos += per_entry
         return RingGswCiphertext(ctx, rows, max_plaintext)
@@ -154,6 +171,19 @@ class RingGswCiphertext:
         p = self.mul(other, circuit)
         out = s.sub(p, circuit).sub(p, circuit)
         return RingGswCiphertext(out.ctx, out.rows, 1)
+
+    def reduced(self, circuit: PolyCircuit) -> "RingGswCiphertext":
+        """Full-reduce every entry beyond the boundary bound: the canonical
+        circuit-boundary form. Round outputs handed to another circuit (next
+        PRF round, the wrapped mask circuit) MUST cross reduced —
+        input(canonical=False)/from_wires assume the full-reduced bound, and
+        unreduced trace values overflow the consuming circuit's LUT domains
+        (found by the first real-mode run). Entries already within the bound
+        (e.g. fresh external-product outputs) pass through untouched."""
+        rows = tuple(
+            [_entry_reduced(e, circuit) for e in row] for row in self.rows
+        )
+        return RingGswCiphertext(self.ctx, rows, self.max_plaintext)
 
     def gadget_decompose_value_consts(self, value: int) -> list[int]:
         """Host-side gadget decomposition constants d_t of an integer:

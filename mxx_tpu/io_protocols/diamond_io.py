@@ -249,12 +249,14 @@ class DiamondIO:
                     )
                 mask_cts_per_output.append(cts)
         else:
+            # canonical=False: the final seed wires are refreshed round
+            # outputs crossing the circuit boundary in full-reduced form
             if packed:
                 seed_cts_wires = [
                     PackedRingGswCiphertext.from_wires(
                         prf.ctx,
                         extra_wires[i * prf.wires_per_ct : (i + 1) * prf.wires_per_ct],
-                        ns,
+                        ns, canonical=False,
                     )
                     for i in range(cfg.seed_bits)
                 ]
@@ -263,6 +265,7 @@ class DiamondIO:
                     RingGswCiphertext.from_wires(
                         prf.ctx,
                         extra_wires[i * prf.wires_per_ct : (i + 1) * prf.wires_per_ct],
+                        canonical=False,
                     )
                     for i in range(cfg.seed_bits)
                 ]

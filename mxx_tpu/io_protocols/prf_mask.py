@@ -494,8 +494,10 @@ class PrfMaskPipeline:
         reference's representative-unit pattern, error_simulation.rs)."""
         out_bits = self.cfg.seed_bits * self.branch_count
         circuit = self.ctx.fresh_circuit()
+        # canonical=False: round-N seeds are round-(N-1) outputs / refreshed
+        # wires crossing the circuit boundary in full-reduced form
         seeds = [
-            RingGswCiphertext.input(self.ctx, circuit)
+            RingGswCiphertext.input(self.ctx, circuit, canonical=False)
             for _ in range(self.cfg.seed_bits)
         ]
         if representative:
@@ -512,7 +514,9 @@ class PrfMaskPipeline:
         outs = prg.evaluate(seeds, circuit)
         flat = []
         for ct in outs:
-            flat.extend(ct.flatten())
+            # circuit-boundary form: the next round / the wrapped circuit
+            # rebuilds these wires under the full-reduced bound assumption
+            flat.extend(ct.reduced(circuit).flatten())
         circuit.output(flat)
         return circuit
 
@@ -642,7 +646,9 @@ class PrfMaskPipeline:
         out_bits = self.cfg.seed_bits * self.branch_count
         circuit = self.ctx.fresh_circuit()
         seeds = [
-            PackedRingGswCiphertext.input(self.ctx, circuit, self.num_slots)
+            PackedRingGswCiphertext.input(
+                self.ctx, circuit, self.num_slots, canonical=False
+            )
             for _ in range(self.cfg.seed_bits)
         ]
         prg = GoldreichFhePrg.setup(
@@ -651,7 +657,8 @@ class PrfMaskPipeline:
         outs = prg.evaluate(seeds, circuit)
         flat = []
         for ct in outs:
-            flat.extend(ct.flatten())
+            # circuit-boundary form (see build_prg_round_circuit)
+            flat.extend(ct.reduced(circuit).flatten())
         circuit.output(flat)
         results = circuit.eval(
             self.params, one_vec, seed_vec_wires,

@@ -234,7 +234,7 @@ class CommitBGGEncodingPltEvaluator:
         assert input_enc.plaintext is not None, (
             "BGG encoding must reveal plaintext for public lookup"
         )
-        x = input_enc.plaintext.const_coeff()
+        x = input_enc.plaintext.const_value()
         got = plt.get(params, x)
         assert got is not None, f"{x} not found in LUT for gate {gate_id}"
         k, y = got

@@ -30,6 +30,31 @@ from ..sampler import Trapdoor
 from .lwe import derive_a_lt_matrices_batch, derive_a_lt_matrix
 
 
+def _batched_const_values(params, polys) -> list[int]:
+    """Constant-poly values for many wires with ONE device fetch for the
+    device-resident ones (a per-gate const_value on a lazy device plaintext
+    costs a dispatch+sync each; batched LUT gates arrive thousands at a
+    time). Numpy-backed polys read their column directly."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    out = [None] * len(polys)
+    dev = []
+    for i, p in enumerate(polys):
+        assert p is not None, "LUT input must reveal its plaintext"
+        if isinstance(p.data, np.ndarray):
+            out[i] = params.reconstruct_coeff(np.asarray(p.data[:, 0]))
+        else:
+            dev.append(i)
+    if dev:
+        stacked = np.asarray(
+            jnp.stack([polys[i].data for i in dev])[:, :, 0]
+        )  # [B_dev, L]
+        for j, i in enumerate(dev):
+            out[i] = params.reconstruct_coeff(stacked[j])
+    return [int(v) for v in out]
+
+
 def debug_trapdoor_preimage(params, trapdoor: Trapdoor, target: PolyMatrix) -> PolyMatrix:
     """Exact preimage without perturbation (debug.rs DebugTrapdoorPreimage):
     A [R z; E z; z] = (G - AR - E + AR + E) z = target."""
@@ -102,7 +127,7 @@ class DebugBGGEncodingPltEvaluator:
     def public_lookup(self, params, plt, one, input_enc: BggEncoding,
                       gate_id: int, lut_id: int, slot_idx=None) -> BggEncoding:
         assert input_enc.plaintext is not None, "debug lookup input must reveal plaintext"
-        z = int(input_enc.plaintext.const_coeff())
+        z = int(input_enc.plaintext.const_value())
         got = plt.get(params, z)
         if got is None:
             raise KeyError(f"{z} not found in LUT {lut_id} for gate {gate_id}")
@@ -125,22 +150,35 @@ class DebugBGGEncodingPltEvaluator:
         from ..ops.zq_matmul import zq_matmul
         from ..ring.poly import EVAL
 
+        import numpy as np
+
+        from ..ring.poly import EVAL, residue_planes_from_ints
+
         d = items[0][1].pubkey.matrix.nrow
-        ys = []
-        for plt, input_enc, gate_id, lut_id in items:
-            assert input_enc.plaintext is not None
-            z = int(input_enc.plaintext.const_coeff())
+        zs = _batched_const_values(params, [it[1].plaintext for it in items])
+        y_vals = []
+        for (plt, input_enc, gate_id, lut_id), z in zip(items, zs):
             got = plt.get(params, z)
             if got is None:
                 raise KeyError(f"{z} not found in LUT {lut_id} for gate {gate_id}")
-            ys.append(Poly.from_elem_to_constant(params, got[1]))
+            y_vals.append(int(got[1].value))
+        # ONE host residue pass + numpy broadcast views for the y polys
+        # (a device Poly.const per gate was ~40% of encoding-path LUT time)
+        ys_res = residue_planes_from_ints(params, y_vals)  # [L, B]
+        L, B_ = ys_res.shape
+        ys = [
+            Poly(
+                np.broadcast_to(ys_res[:, i : i + 1], (L, params.n)), EVAL, params
+            )
+            for i in range(B_)
+        ]
         a_lts = derive_a_lt_matrices_batch(
             params, d, self.hash_key, [it[2] for it in items]
         )
         B = len(items)
         jt = params.jt
         g_data = PolyMatrix.gadget_matrix(params, d).to_eval().data  # [L, d, m, n]
-        y_data = jnp.stack([y.to_eval().data for y in ys], axis=1)  # [L, B, n]
+        y_data = jnp.stack([jnp.asarray(y.data) for y in ys], axis=1)  # [L, B, n]
         gy = ew_mul(
             jnp.tile(g_data, (1, B, 1, 1)),
             jnp.repeat(y_data, d, axis=1)[:, :, None, :],

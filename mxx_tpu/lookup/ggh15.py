@@ -403,7 +403,7 @@ class GGH15BGGEncodingPltEvaluator:
     def public_lookup(self, params, plt, one, input_enc: BggEncoding, gate_id, lut_id):
         assert input_enc.plaintext is not None, "GGH15 lookup input must reveal plaintext"
         x_poly = input_enc.plaintext
-        x = x_poly.const_coeff()
+        x = x_poly.const_value()
         got = plt.get(params, int(x))
         if got is None:
             raise KeyError(f"{x} not found in LUT {lut_id} for gate {gate_id}")

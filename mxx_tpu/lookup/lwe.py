@@ -230,7 +230,7 @@ class LWEBGGEncodingPltEvaluator:
     def public_lookup(self, params, plt: PublicLut, one, input_enc: BggEncoding,
                       gate_id: int, lut_id: int, slot_idx=None) -> BggEncoding:
         assert input_enc.plaintext is not None, "LWE lookup input must reveal its plaintext"
-        z = input_enc.plaintext.const_coeff()
+        z = input_enc.plaintext.const_value()
         got = plt.get(params, int(z))
         if got is None:
             raise KeyError(f"{z} does not exist in public lookup table {lut_id}")

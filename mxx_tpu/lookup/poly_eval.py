@@ -11,7 +11,7 @@ from ..ring.poly import Poly
 
 class PolyPltEvaluator:
     def public_lookup(self, params, plt, one: Poly, input_poly: Poly, gate_id: int, lut_id: int):
-        x = input_poly.const_coeff()
+        x = input_poly.const_value()
         out = plt.get(params, int(x))
         if out is None:
             raise KeyError(

@@ -15,7 +15,7 @@ class PolyVecPltEvaluator:
     def public_lookup(self, params, plt, one, input_vec: PolyVec, gate_id, lut_id):
         out = []
         for p in input_vec.slots:
-            x = p.const_coeff()
+            x = p.const_value()
             got = plt.get(params, int(x))
             if got is None:
                 raise KeyError(f"{x} not in LUT {lut_id} (gate {gate_id})")

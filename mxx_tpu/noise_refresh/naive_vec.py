@@ -264,7 +264,11 @@ class NoiseRefresherNaiveVec:
         wpc = len(probe.flatten())
         assert len(seed_ct_wires) % wpc == 0, (len(seed_ct_wires), wpc)
         seed_bits = len(seed_ct_wires) // wpc
-        seeds = [RingGswCiphertext.input(ctx, circuit) for _ in range(seed_bits)]
+        # canonical=False: the seed wires are round outputs / refreshed wires
+        seeds = [
+            RingGswCiphertext.input(ctx, circuit, canonical=False)
+            for _ in range(seed_bits)
+        ]
         key = circuit.input(1)[0]
         digits = params.modulus_digits
         crt_depth = params.crt_depth

@@ -149,6 +149,16 @@ class Poly:
         arr = np.asarray(self.to_coeff().data[:, 0])
         return self.params.reconstruct_coeff(arr)
 
+    def const_value(self) -> int:
+        """Value of a CONSTANT polynomial WITHOUT an NTT: a constant has its
+        value in every EVAL slot and in COEFF coefficient 0, so either format
+        reads column 0 directly. Callers must know the poly is constant
+        (LUT inputs are, by construction) — per-gate const_coeff() cost one
+        device iNTT + sync each, which dominated LUT-heavy circuit eval."""
+        d = self.data
+        col = d[:, 0] if isinstance(d, np.ndarray) else np.asarray(d)[:, 0]
+        return self.params.reconstruct_coeff(np.asarray(col))
+
     def const_coeff_u64(self) -> int:
         return self.const_coeff()
 

@@ -236,7 +236,7 @@ class BggPolyEncodingSTEvaluator:
         for dst, (src, scalar) in enumerate(src_slots):
             assert src < input_enc.num_slots, f"source slot {src} out of range"
             a_dst = _slot_a(params, self.hash_key, d, dst)
-            x = Poly.const(params, input_enc.plaintext(src).const_coeff())
+            x = Poly.const(params, input_enc.plaintext(src).const_value())
             pre = input_enc.vector(src) @ a_dst.decompose() + self._c_transfer(
                 src, dst
             ).mul_poly_scalar(x)
@@ -263,7 +263,7 @@ class BggPolyEncodingSTEvaluator:
             acc = None
             out_pt = Poly.zero(params)
             for src in range(num_slots):
-                x = Poly.const(params, enc.plaintext(src).const_coeff())
+                x = Poly.const(params, enc.plaintext(src).const_value())
                 mono = _monomial(params, src)
                 pre_slot = (
                     enc.vector(src) @ a_dst_dec
