@@ -190,8 +190,8 @@ class LWEBGGPolyPubKeyPltEvaluator:
         from ..storage import add_lookup_buffer, get_lookup_buffer
 
         scalar = self.scalar
-        for (gate_id, _slot0), state in list(scalar.gate_state.items()):
-            plt = scalar.lut_state[state.lut_id]
+        for (ctx, gate_id, _slot0), state in list(scalar.gate_state.items()):
+            plt = state.plt
             row_size = scalar.pub_matrix.nrow
             gadget = PolyMatrix.gadget_matrix(params, row_size)
             for s in range(self.num_slots):
@@ -202,7 +202,8 @@ class LWEBGGPolyPubKeyPltEvaluator:
                     ext = state.input_pubkey - gadget.mul_poly_scalar(x_poly)
                     target = state.output_pubkey - gadget.mul_poly_scalar(y_poly)
                     k_low = derive_k_low(
-                        params, row_size, scalar.hash_key, gate_id, state.lut_id, k, s
+                        params, row_size, scalar.hash_key, gate_id, state.lut_id,
+                        k, s, ctx,
                     )
                     adjusted = target - ext @ k_low
                     k_high = scalar.trap_sampler.preimage(
@@ -211,7 +212,7 @@ class LWEBGGPolyPubKeyPltEvaluator:
                     rows.append((k, k_high))
                 add_lookup_buffer(
                     get_lookup_buffer(
-                        rows, k_high_checkpoint_prefix(gate_id, state.lut_id, s)
+                        rows, k_high_checkpoint_prefix(gate_id, state.lut_id, s, ctx)
                     )
                 )
         scalar.gate_state.clear()
@@ -226,6 +227,7 @@ class LWEBGGPolyEncodingPltEvaluator:
         self.hash_key = hash_key
         self.dir_path = dir_path
         self.c_b_rows = c_b_rows  # S x m_b, row s = sigma_s * B (+ e)
+        self.context: str = ""  # per-circuit namespace (set_plt_context)
 
     def public_lookup(self, params, plt, one, input_enc: BggPolyEncoding, gate_id, lut_id):
         from ..lookup.lwe import derive_a_lt_matrix, derive_k_low, k_high_checkpoint_prefix
@@ -233,7 +235,8 @@ class LWEBGGPolyEncodingPltEvaluator:
 
         assert input_enc.plaintexts is not None
         row_size = input_enc.pubkey.matrix.nrow
-        a_lt = derive_a_lt_matrix(params, row_size, self.hash_key, gate_id)
+        ctx = self.context
+        a_lt = derive_a_lt_matrix(params, row_size, self.hash_key, gate_id, None, ctx)
         rows = []
         out_pts = []
         for s in range(input_enc.num_slots):
@@ -241,10 +244,13 @@ class LWEBGGPolyEncodingPltEvaluator:
             k, y_k = plt.get_checked(params, int(z))
             out_pts.append(Poly.from_elem_to_constant(params, y_k))
             k_high = read_matrix_from_multi_batch(
-                params, self.dir_path, k_high_checkpoint_prefix(gate_id, lut_id, s), k
+                params, self.dir_path,
+                k_high_checkpoint_prefix(gate_id, lut_id, s, ctx), k,
             )
             assert k_high is not None, f"missing K_high for gate {gate_id} slot {s} row {k}"
-            k_low = derive_k_low(params, row_size, self.hash_key, gate_id, lut_id, k, s)
+            k_low = derive_k_low(
+                params, row_size, self.hash_key, gate_id, lut_id, k, s, ctx
+            )
             c_b = self.c_b_rows.slice_rows(s, s + 1)
             rows.append(c_b @ k_high + input_enc.vector(s) @ k_low)
         vectors = rows[0].concat_rows(rows[1:])

@@ -539,6 +539,9 @@ class DiamondIO:
             )
         elif not cfg.debug_encrypt_random_prg_wires:
             circuit_inputs += final_seed_pks
+        from ..lookup.lwe import set_plt_context
+
+        set_plt_context(pk_eval, "wrapped")
         with span("diamond_io.pk_circuit_eval", gates=circuit.num_gates(),
                   slots=self.num_slots):
             if self.num_slots > 1:
@@ -556,6 +559,7 @@ class DiamondIO:
                     params, one_pubkey, circuit_inputs, plt_evaluator=pk_eval,
                     batched=True,
                 )
+        set_plt_context(pk_eval, "")
         if hasattr(pk_eval, "sample_aux_matrices"):
             pk_eval.sample_aux_matrices(params)
         wait_for_all_writes()
@@ -681,6 +685,9 @@ class DiamondIO:
             )
         elif not cfg.debug_encrypt_random_prg_wires:
             circuit_inputs += final_seed_encs
+        from ..lookup.lwe import set_plt_context
+
+        set_plt_context(enc_eval, "wrapped")
         with span("diamond_io.enc_circuit_eval", gates=circuit.num_gates(),
                   slots=self.num_slots):
             if self.num_slots > 1:

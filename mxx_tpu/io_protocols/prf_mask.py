@@ -378,12 +378,18 @@ class PrfMaskPipeline:
                     assert cfg.refresh_wire_limit is None, (
                         "real PRG mode must refresh every seed wire"
                     )
-                    prg_wires = [
-                        [w for chunk in branch for w in chunk]
-                        for branch in self._eval_prg_round(
-                            round_idx, one_pk, seed_wires, plt_evaluator
-                        )
-                    ]
+                    # per-BRANCH range circuits, not one full-range circuit:
+                    # the online side evaluates only the selected branch's
+                    # range circuit, and a storage-backed LUT evaluator keys
+                    # its K_high artifacts by (context, gate_id) — the
+                    # offline gate ids must match the online circuit's
+                    prg_wires = []
+                    for b in range(self.branch_count):
+                        chunks = self._eval_prg_round(
+                            round_idx, one_pk, seed_wires, plt_evaluator,
+                            only_branch=b,
+                        )[b]
+                        prg_wires.append([w for chunk in chunks for w in chunk])
 
                 wire_count = len(prg_wires[0])
                 limit = cfg.refresh_wire_limit or wire_count
@@ -426,19 +432,20 @@ class PrfMaskPipeline:
                             self.rebase_preimage_id(round_idx, branch, wire_idx), pre
                         )
                     # shared refresh terms for this (round, branch)
+                    refresh_ctx = f"refresh.r{round_idx}.b{branch}"
                     if cfg.debug_encrypt_random_prg_wires:
                         material = self._refresh_material(k_int, rng, error_sigma)
                         round_material.append(material)
                         terms = self.refresher.decoded_terms(
                             one_pk, negk_pk, material, plt_evaluator,
-                            lambda w: w.matrix,
+                            lambda w: w.matrix, context=refresh_ctx,
                         )
                     else:
                         terms = self.refresher.decoded_terms_prg(
                             one_pk, negk_pk, seed_wires,
                             self.material_graph_seed(round_idx, branch),
                             cfg.noise_refresh_cbd_n, plt_evaluator,
-                            lambda w: w.matrix,
+                            lambda w: w.matrix, context=refresh_ctx,
                         )
                     branch_next = []
                     refresh_targets = []
@@ -526,13 +533,18 @@ class PrfMaskPipeline:
         evaluates every branch; online passes `only_branch` to evaluate just
         the selected RANGE of the conceptual round graph (reference
         build_goldreich_prg_range_circuit, utils.rs:747 / eval-side range)."""
+        from ..lookup.lwe import set_plt_context
+
         circuit = self.build_prg_round_circuit(round_idx, only_branch)
+        rng_tag = "full" if only_branch is None else f"b{only_branch}"
+        set_plt_context(plt_evaluator, f"prg.r{round_idx}.{rng_tag}")
         with span("prf_pipeline.prg_round_circuit", gates=circuit.num_gates(),
                   round_idx=round_idx):
             results = circuit.eval(
                 self.params, one_wire, seed_wires, plt_evaluator=plt_evaluator,
                 batched=True,
             )
+        set_plt_context(plt_evaluator, "")
         per_ct = self.wires_per_ct
         branch_idxs = (
             range(self.branch_count) if only_branch is None else [only_branch]
@@ -587,18 +599,19 @@ class PrfMaskPipeline:
                     params, [branch]
                 )
                 # shared refresh terms for this round's selected branch
+                refresh_ctx = f"refresh.r{round_idx}.b{branch}"
                 if cfg.debug_encrypt_random_prg_wires:
                     material = debug.refresh_material[round_idx][branch]
                     terms = self.refresher.decoded_terms(
                         one_enc, negk_enc, material, plt_evaluator,
-                        lambda w: w.vector,
+                        lambda w: w.vector, context=refresh_ctx,
                     )
                 else:
                     terms = self.refresher.decoded_terms_prg(
                         one_enc, negk_enc, seed_wires,
                         self.material_graph_seed(round_idx, branch),
                         cfg.noise_refresh_cbd_n, plt_evaluator,
-                        lambda w: w.vector,
+                        lambda w: w.vector, context=refresh_ctx,
                     )
                 next_wires = []
                 for wire_idx in range(limit):
@@ -660,11 +673,17 @@ class PrfMaskPipeline:
             # circuit-boundary form (see build_prg_round_circuit)
             flat.extend(ct.reduced(circuit).flatten())
         circuit.output(flat)
+        from ..lookup.lwe import set_plt_context
+
+        # both sides evaluate the FULL packed round circuit (all branches),
+        # so one shared namespace per round keeps gate ids aligned
+        set_plt_context(plt_evaluator, f"prg_packed.r{round_idx}")
         results = circuit.eval(
             self.params, one_vec, seed_vec_wires,
             plt_evaluator=SlotwisePltEvaluator(plt_evaluator),
             slot_transfer_evaluator=BGGVecSlotTransferEvaluator(),
         )
+        set_plt_context(plt_evaluator, "")
         per_ct = self.wires_per_ct
         branches = []
         for b in range(self.branch_count):
@@ -778,6 +797,7 @@ class PrfMaskPipeline:
                     terms = self.refresher.decoded_terms_packed(
                         one_vec, negk_vec, material, plt_evaluator,
                         lambda w: w.keys[0].matrix, ns,
+                        context=f"refresh.r{round_idx}.b{branch}",
                     )
                     branch_next = []
                     refresh_targets = []
@@ -864,6 +884,7 @@ class PrfMaskPipeline:
                 terms = self.refresher.decoded_terms_packed(
                     one_vec, negk_vec, material, plt_evaluator,
                     lambda w: w.encodings[0].vector, ns,
+                    context=f"refresh.r{round_idx}.b{branch}",
                 )
                 next_wires = []
                 for wire_idx in range(limit):

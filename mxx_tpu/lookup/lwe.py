@@ -31,41 +31,78 @@ from ..utils.tracing import span
 from .public_lut import PublicLut
 
 
-def derive_a_lt_matrix(params, row_size: int, hash_key: bytes, gate_id: int, slot_idx=None):
+def _ctx_tag(context: str) -> str:
+    # empty context keeps the historical tag/prefix formats (single-circuit
+    # protocols and existing artifacts stay valid)
+    return f"{context}|" if context else ""
+
+
+def derive_a_lt_matrix(params, row_size: int, hash_key: bytes, gate_id: int,
+                       slot_idx=None, context: str = ""):
     m_g = row_size * params.modulus_digits
-    tag = f"A_LT_{gate_id}_slot{slot_idx or 0}"
+    tag = f"A_LT_{_ctx_tag(context)}{gate_id}_slot{slot_idx or 0}"
     return HashSampler().sample_hash(params, hash_key, tag, row_size, m_g, FinRingDist())
 
 
 def derive_a_lt_matrices_batch(params, row_size: int, hash_key: bytes,
-                               gate_ids: list[int], slot_idx=None) -> list[PolyMatrix]:
+                               gate_ids: list[int], slot_idx=None,
+                               context: str = "") -> list[PolyMatrix]:
     """Many gates' A_LT in ONE device program — bit-identical per-gate to
     `derive_a_lt_matrix` (same tags/streams). LUT-heavy nested-RNS circuits
     evaluate thousands of PubLut gates per level; per-gate hash dispatch was
     the dominant eval cost before batching (round-3 profile)."""
     m_g = row_size * params.modulus_digits
-    tags = [f"A_LT_{g}_slot{slot_idx or 0}" for g in gate_ids]
+    tags = [f"A_LT_{_ctx_tag(context)}{g}_slot{slot_idx or 0}" for g in gate_ids]
     return HashSampler().sample_hash_batch(
         params, hash_key, tags, row_size, m_g, FinRingDist(), eval_form=True
     )
 
 
-def _k_low_tag(gate_id: int, lut_id: int, lut_entry_idx: int, slot_idx=None) -> str:
-    return f"LWE_R_G_{gate_id}_{lut_id}_{lut_entry_idx}_slot{slot_idx or 0}"
+def _k_low_tag(gate_id: int, lut_id: int, lut_entry_idx: int, slot_idx=None,
+               context: str = "") -> str:
+    return (f"LWE_R_G_{_ctx_tag(context)}{gate_id}_{lut_id}_{lut_entry_idx}"
+            f"_slot{slot_idx or 0}")
 
 
 def derive_k_low(params, row_size: int, hash_key: bytes, gate_id: int, lut_id: int,
-                 lut_entry_idx: int, slot_idx=None) -> PolyMatrix:
+                 lut_entry_idx: int, slot_idx=None, context: str = "") -> PolyMatrix:
     m_g = row_size * params.modulus_digits
     raw = HashSampler().sample_hash(
-        params, hash_key, _k_low_tag(gate_id, lut_id, lut_entry_idx, slot_idx),
+        params, hash_key, _k_low_tag(gate_id, lut_id, lut_entry_idx, slot_idx, context),
         row_size, m_g, FinRingDist(),
     )
     return raw.decompose()
 
 
-def k_high_checkpoint_prefix(gate_id: int, lut_id: int, slot_idx=None) -> str:
-    return f"LWE_K_H_{gate_id}_{lut_id}_slot{slot_idx or 0}"
+def k_high_checkpoint_prefix(gate_id: int, lut_id: int, slot_idx=None,
+                             context: str = "") -> str:
+    ctx = context.replace("/", ".") if context else ""
+    return f"LWE_K_H_{ctx + '.' if ctx else ''}{gate_id}_{lut_id}_slot{slot_idx or 0}"
+
+
+def set_plt_context(evaluator, context: str) -> None:
+    """Namespace the storage-backed LUT evaluator for the NEXT circuit eval.
+
+    Gate/lut ids are per-circuit (gate 0 restarts in every PolyCircuit), but
+    a protocol evaluates MANY circuits through ONE evaluator instance: the
+    wrapped circuit, per-(round, branch) refresh decrypt circuits, per-digit
+    material circuits. Without a namespace the recorded gate states and the
+    persisted K_high artifacts collide across circuits (round-4 bug: the
+    wrapped circuit's gate 8100 overwrote a refresh decrypt circuit's record
+    — "missing stored K_high" at eval). The reference avoids this by building
+    ONE global circuit (diamond_io.rs); the TPU build evaluates phase-local
+    circuits for program-size control, so the context must carry the phase.
+
+    Both sides of a protocol MUST set the same context string around the
+    matching circuit eval. No-op for debug/oracle evaluators (no `context`
+    attribute — nothing persisted)."""
+    seen = set()
+    while evaluator is not None and id(evaluator) not in seen:
+        seen.add(id(evaluator))
+        if hasattr(evaluator, "context"):
+            evaluator.context = context
+        # unwrap slotwise / vec wrappers
+        evaluator = getattr(evaluator, "scalar", None)
 
 
 @dataclass
@@ -73,6 +110,8 @@ class _GateState:
     lut_id: int
     input_pubkey: PolyMatrix
     output_pubkey: PolyMatrix
+    plt: PublicLut = None
+    context: str = ""
 
 
 class LWEBGGPubKeyPltEvaluator:
@@ -93,33 +132,36 @@ class LWEBGGPubKeyPltEvaluator:
         self.trapdoor = trapdoor
         self.dir_path = Path(dir_path)
         self.mesh = mesh  # offline K_high sampling shards over mesh 'col' axis
-        self.lut_state: dict[int, PublicLut] = {}
-        self.gate_state: dict[tuple[int, int], _GateState] = {}
+        self.context: str = ""  # per-circuit namespace (set_plt_context)
+        self.gate_state: dict[tuple[str, int, int], _GateState] = {}
 
     def public_lookup(self, params, plt: PublicLut, one, input_pk: BggPublicKey,
                       gate_id: int, lut_id: int, slot_idx=None) -> BggPublicKey:
         row_size = input_pk.matrix.nrow
-        a_lt = derive_a_lt_matrix(params, row_size, self.hash_key, gate_id, slot_idx)
-        self.lut_state.setdefault(lut_id, plt)
-        self.gate_state[(gate_id, slot_idx or 0)] = _GateState(
-            lut_id, input_pk.matrix, a_lt
+        ctx = self.context
+        a_lt = derive_a_lt_matrix(
+            params, row_size, self.hash_key, gate_id, slot_idx, ctx
+        )
+        self.gate_state[(ctx, gate_id, slot_idx or 0)] = _GateState(
+            lut_id, input_pk.matrix, a_lt, plt, ctx
         )
         return BggPublicKey(a_lt, True)
 
     def sample_aux_matrices(self, params):
         """Sample + persist K_high preimage rows for every recorded gate."""
         with span("lwe_lut.sample_aux_matrices", gates=len(self.gate_state)):
-            for (gate_id, slot_idx), state in list(self.gate_state.items()):
-                plt = self.lut_state[state.lut_id]
-                with span("lwe_lut.k_high_gate", gate_id=gate_id, slot=slot_idx):
+            for (ctx, gate_id, slot_idx), state in list(self.gate_state.items()):
+                with span("lwe_lut.k_high_gate", gate_id=gate_id, slot=slot_idx,
+                          ctx=ctx):
                     buffer = self._sample_k_high_buffer(
-                        params, plt, state.input_pubkey, state.output_pubkey,
-                        gate_id, state.lut_id, slot_idx,
+                        params, state.plt, state.input_pubkey, state.output_pubkey,
+                        gate_id, state.lut_id, slot_idx, ctx,
                     )
                 add_lookup_buffer(buffer)
             self.gate_state.clear()
 
-    def _sample_k_high_buffer(self, params, plt, a_z, a_lt, gate_id, lut_id, slot_idx):
+    def _sample_k_high_buffer(self, params, plt, a_z, a_lt, gate_id, lut_id,
+                              slot_idx, context=""):
         """Per-entry targets `A_LT - G*y - (A_z - G*x) @ K_low` assembled as a
         handful of BATCHED device programs (one hash program for every K_low,
         one batched decompose, one vmapped matmul, elementwise the rest) —
@@ -156,7 +198,7 @@ class LWEBGGPubKeyPltEvaluator:
             ys = [int(y_k.value) for _, (_, y_k) in chunk]
             k_low_raw = HashSampler().sample_hash_batch(
                 params, self.hash_key,
-                [_k_low_tag(gate_id, lut_id, kk, slot_idx) for kk in cks],
+                [_k_low_tag(gate_id, lut_id, kk, slot_idx, context) for kk in cks],
                 d, m_g, FinRingDist(),
             )
             dec = _batched_decompose(params, k_low_raw)  # [E, L, m_g, m_g, n]
@@ -216,7 +258,9 @@ class LWEBGGPubKeyPltEvaluator:
             if hasattr(t, "delete"):
                 t.delete()
         rows = list(zip(ks, k_highs))
-        return get_lookup_buffer(rows, k_high_checkpoint_prefix(gate_id, lut_id, slot_idx))
+        return get_lookup_buffer(
+            rows, k_high_checkpoint_prefix(gate_id, lut_id, slot_idx, context)
+        )
 
 
 class LWEBGGEncodingPltEvaluator:
@@ -226,6 +270,7 @@ class LWEBGGEncodingPltEvaluator:
         self.hash_key = hash_key
         self.dir_path = Path(dir_path)
         self.c_b = c_b
+        self.context: str = ""  # per-circuit namespace (set_plt_context)
 
     def public_lookup(self, params, plt: PublicLut, one, input_enc: BggEncoding,
                       gate_id: int, lut_id: int, slot_idx=None) -> BggEncoding:
@@ -237,11 +282,19 @@ class LWEBGGEncodingPltEvaluator:
         k, y_k = got
         y_poly = Poly.from_elem_to_constant(params, y_k)
         row_size = input_enc.pubkey.matrix.nrow
-        a_lt = derive_a_lt_matrix(params, row_size, self.hash_key, gate_id, slot_idx)
-        k_high = read_matrix_from_multi_batch(
-            params, self.dir_path, k_high_checkpoint_prefix(gate_id, lut_id, slot_idx), k
+        ctx = self.context
+        a_lt = derive_a_lt_matrix(
+            params, row_size, self.hash_key, gate_id, slot_idx, ctx
         )
-        assert k_high is not None, f"missing stored K_high for gate {gate_id} row {k}"
-        k_low = derive_k_low(params, row_size, self.hash_key, gate_id, lut_id, k, slot_idx)
+        k_high = read_matrix_from_multi_batch(
+            params, self.dir_path,
+            k_high_checkpoint_prefix(gate_id, lut_id, slot_idx, ctx), k,
+        )
+        assert k_high is not None, (
+            f"missing stored K_high for gate {gate_id} row {k} ctx={ctx!r}"
+        )
+        k_low = derive_k_low(
+            params, row_size, self.hash_key, gate_id, lut_id, k, slot_idx, ctx
+        )
         vector = self.c_b @ k_high + input_enc.vector @ k_low
         return BggEncoding(vector, BggPublicKey(a_lt, True), y_poly)

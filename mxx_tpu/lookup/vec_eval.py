@@ -60,17 +60,34 @@ class SlotwisePltEvaluator:
 
     def __init__(self, scalar):
         self.scalar = scalar
+        # storage-backed evaluators key artifacts per slot; oracle evaluators
+        # take no slot_idx — probe the signature once
+        import inspect
+
+        try:
+            self._pass_slot = "slot_idx" in inspect.signature(
+                scalar.public_lookup
+            ).parameters
+        except (TypeError, ValueError):
+            self._pass_slot = False
+
+    def _slot_lookup(self, params, plt, wire, gate_id, lut_id, slot):
+        if self._pass_slot:
+            return self.scalar.public_lookup(
+                params, plt, None, wire, gate_id, lut_id, slot_idx=slot
+            )
+        return self.scalar.public_lookup(params, plt, None, wire, gate_id, lut_id)
 
     def public_lookup(self, params, plt, one, input_vec, gate_id, lut_id):
         if isinstance(input_vec, BGGPublicKeyVec):
             return BGGPublicKeyVec.new([
-                self.scalar.public_lookup(params, plt, None, pk, gate_id, lut_id)
-                for pk in input_vec.keys
+                self._slot_lookup(params, plt, pk, gate_id, lut_id, s)
+                for s, pk in enumerate(input_vec.keys)
             ])
         assert isinstance(input_vec, BGGEncodingVec), type(input_vec)
         return BGGEncodingVec.new([
-            self.scalar.public_lookup(params, plt, None, e, gate_id, lut_id)
-            for e in input_vec.encodings
+            self._slot_lookup(params, plt, e, gate_id, lut_id, s)
+            for s, e in enumerate(input_vec.encodings)
         ])
 
     def sample_aux_matrices(self, params):

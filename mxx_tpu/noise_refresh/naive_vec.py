@@ -189,20 +189,27 @@ class NoiseRefresherNaiveVec:
         return lift_constants_batched(self.params, one_wire, values)
 
     def _decoded_wires(self, one_wire, k_wire, material, material_values,
-                       plt_evaluator):
+                       plt_evaluator, context: str = ""):
         """Evaluate the all-CRT decrypt circuit per digit; returns
-        decoded[digit][crt] wires."""
+        decoded[digit][crt] wires. Each digit's eval gets its own LUT
+        namespace: the circuit is shape-cached (same gate ids) but the lifted
+        material values — hence the input PUBKEYS — differ per digit, so a
+        storage-backed evaluator must not collide their K_high records."""
+        from ..lookup.lwe import set_plt_context
+
         decoded = []
         for digit_idx, vals in enumerate(material_values):
             circuit = self._decrypt_circuit(
                 len(material.errors[digit_idx]), len(material.masks[digit_idx])
             )
             inputs = self._lift(one_wire, vals) + [k_wire]
+            set_plt_context(plt_evaluator, f"{context}.dec_d{digit_idx}")
             outs = circuit.eval(
                 self.params, one_wire, inputs, plt_evaluator=plt_evaluator,
                 batched=True,
             )
             decoded.append(outs)
+        set_plt_context(plt_evaluator, context)
         return decoded
 
     def _term_matrix(self, decoded_digit_crt, crt_idx: int, extract) -> PolyMatrix:
@@ -230,13 +237,15 @@ class NoiseRefresherNaiveVec:
     # ------------------------------------------- shared decoded refresh terms
 
     def decoded_terms(self, one_wire, k_wire, material: RefreshMaterialCts,
-                      plt_evaluator, extract) -> list[PolyMatrix]:
+                      plt_evaluator, extract, context: str = "") -> list[PolyMatrix]:
         """Per-CRT refresh-term matrices from replayed native material cts,
         computed ONCE and shared by every wire refreshed in the same batch
         (reference preprocess_many/decoded_refresh_terms_public,
         naive_vec.rs:1041-1075 — round 2 recomputed these per wire)."""
         vals = self.material_wire_values(material)
-        decoded = self._decoded_wires(one_wire, k_wire, material, vals, plt_evaluator)
+        decoded = self._decoded_wires(
+            one_wire, k_wire, material, vals, plt_evaluator, context
+        )
         return [
             self._term_matrix(decoded, crt_idx, extract)
             for crt_idx in range(self.params.crt_depth)
@@ -244,7 +253,8 @@ class NoiseRefresherNaiveVec:
 
     def decoded_terms_prg(self, one_wire, k_wire, seed_ct_wires: list,
                           graph_seed: bytes, cbd_n: int, plt_evaluator,
-                          extract, slot_transfer_evaluator=None) -> list[PolyMatrix]:
+                          extract, slot_transfer_evaluator=None,
+                          context: str = "") -> list[PolyMatrix]:
         """REAL-mode refresh terms: ONE circuit expands the encrypted PRG seed
         into per-digit CBD error + mask ciphertexts (ranged Goldreich streams,
         circuit_prg.build_ranged_prg_material_digit), decrypts them with the
@@ -284,6 +294,9 @@ class NoiseRefresherNaiveVec:
                 dec_mask = _dec_mask(circuit, masks_by_crt[crt_idx], key, mask_moduli)
                 outputs.append(circuit.add_gate(dec_err, dec_mask))
         circuit.output(outputs)
+        from ..lookup.lwe import set_plt_context
+
+        set_plt_context(plt_evaluator, f"{context}.prg_material")
         with span("noise_refresh.prg_material_circuit", gates=circuit.num_gates()):
             results = circuit.eval(
                 params, one_wire, list(seed_ct_wires) + [k_wire],
@@ -291,6 +304,7 @@ class NoiseRefresherNaiveVec:
                 slot_transfer_evaluator=slot_transfer_evaluator,
                 batched=True,
             )
+        set_plt_context(plt_evaluator, context)
         decoded = [
             results[d * crt_depth : (d + 1) * crt_depth] for d in range(digits)
         ]
@@ -378,8 +392,8 @@ class NoiseRefresherNaiveVec:
         return circuit
 
     def decoded_terms_packed(self, one_vec, negk_vec, material: RefreshMaterialCts,
-                             plt_evaluator, extract, num_slots: int
-                             ) -> list[PolyMatrix]:
+                             plt_evaluator, extract, num_slots: int,
+                             context: str = "") -> list[PolyMatrix]:
         """Per-CRT refresh-term matrices from PACKED native material cts,
         computed ONCE per (round, branch) and shared by every refreshed wire
         and every slot. `extract` maps a slot-uniform VEC wire to its scalar
@@ -433,12 +447,16 @@ class NoiseRefresherNaiveVec:
             ctor(lifted[w * ns : (w + 1) * ns]) for w in range(len(slot_values))
         ]
 
+        from ..lookup.lwe import set_plt_context
+
+        set_plt_context(plt_evaluator, f"{context}.packed_dec")
         with span("noise_refresh.packed_material_decrypt", gates=circuit.num_gates()):
             results = circuit.eval(
                 params, one_vec, wires + [negk_vec],
                 plt_evaluator=SlotwisePltEvaluator(plt_evaluator),
                 slot_transfer_evaluator=BGGVecSlotTransferEvaluator(),
             )
+        set_plt_context(plt_evaluator, context)
         crt_depth = params.crt_depth
         decoded = [
             results[d * crt_depth : (d + 1) * crt_depth] for d in range(n_digits)
