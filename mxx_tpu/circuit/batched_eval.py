@@ -390,9 +390,20 @@ def _np_views_b(data):
 def _batched_decompose(params, mats):
     """Decompose B equal-shape matrices in one program and NTT to EVAL form:
     returns [B, L, r*k, c, n] ready for the exact matmul."""
-    from ..ring.ntt import ntt_fwd
+    from ..ring.ntt import ntt_fwd, ntt_inv
+    from ..ring.poly import EVAL
 
-    data = jnp.concatenate([m.to_coeff().data for m in mats], axis=1)  # [L, B*r, c, n]
+    if all(m.fmt == EVAL for m in mats):
+        # ONE batched iNTT for the whole group (a per-matrix to_coeff was an
+        # eager device NTT per gate — 20k dispatches in the round-5 real-mode
+        # profile)
+        stacked = _stack(mats, params)  # [L, B*r, c, n] EVAL
+        data = ntt_inv(
+            jnp.asarray(stacked), params.jt.psi_inv_rev_mont,
+            params.jt.n_inv_mont, params.jt.moduli, params.jt.qinv_neg,
+        )
+    else:
+        data = jnp.concatenate([m.to_coeff().data for m in mats], axis=1)  # [L, B*r, c, n]
     p = params
     dec = digit_decompose(
         data, p.jt.moduli, p.jt.digit_masks,

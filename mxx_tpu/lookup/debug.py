@@ -23,6 +23,8 @@ tests: they require the secret.
 
 from __future__ import annotations
 
+import functools
+
 from ..bgg import BggEncoding, BggPublicKey
 from ..matrix import PolyMatrix
 from ..ring.poly import Poly
@@ -114,6 +116,43 @@ class DebugBGGPubKeyPltEvaluator:
         pass
 
 
+def _lut_enc_kernel_impl(a_data, y_res, s_data, g_data, moduli, qinv_neg, r2,
+                         cp, sc):
+    """vec[b] = s @ (A_LT[b] - G * y[b]) for a whole LUT batch.
+
+    a_data [L, B*d, m, n]; y_res [L, B] (constant-poly residues);
+    s_data [L, 1, d, n]; g_data [L, d, m, n]. Returns [B, L, 1, m, n]."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.elementwise import ew_mul, ew_sub
+    from ..ops.zq_matmul import zq_matmul
+
+    L, Bd, m, n = a_data.shape
+    d = g_data.shape[1]
+    B = Bd // d
+    g_t = jnp.tile(g_data, (1, B, 1, 1))  # [L, B*d, m, n]
+    yb = jnp.repeat(y_res, d, axis=1)[:, :, None, None]  # [L, B*d, 1, 1]
+    gy = ew_mul(g_t, jnp.broadcast_to(yb, (L, Bd, 1, n)), moduli, qinv_neg, r2)
+    diff = ew_sub(a_data, gy, moduli)
+    diff_b = jnp.transpose(diff.reshape(L, B, d, m, n), (1, 0, 2, 3, 4))
+    s_b = jnp.broadcast_to(s_data, (B,) + s_data.shape)
+    return jax.vmap(zq_matmul, in_axes=(0, 0, None, None, None, None))(
+        s_b, diff_b, moduli, qinv_neg, cp, sc
+    )
+
+
+@functools.cache
+def _lut_enc_kernel_jit():
+    import jax
+
+    return jax.jit(_lut_enc_kernel_impl)
+
+
+def _lut_enc_kernel(*args):
+    return _lut_enc_kernel_jit()(*args)
+
+
 class DebugBGGEncodingPltEvaluator:
     """Encoding-path debug evaluator: exact output from the test-held secret.
 
@@ -141,15 +180,12 @@ class DebugBGGEncodingPltEvaluator:
 
     def public_lookup_batch(self, params, items) -> list[BggEncoding]:
         """Batched lookup: items = [(plt, input_enc, gate_id, lut_id)].
-        One device program for the A_LT hash batch, the G*y subtraction, and
-        the secret-row matmuls — bit-identical to per-gate `public_lookup`."""
-        import jax
-        import jax.numpy as jnp
-
-        from ..ops.elementwise import ew_mul, ew_sub
-        from ..ops.zq_matmul import zq_matmul
-        from ..ring.poly import EVAL
-
+        ONE jitted program (pow2-padded batch width, so per-level widths hit
+        the compile cache) for the G*y subtraction and the secret-row
+        matmuls, ONE host fetch, numpy-view outputs — bit-identical to
+        per-gate `public_lookup`. The previous version sliced the batched
+        result per gate on device (an eager dispatch per gate: 65% of the
+        round-5 real-mode encoding-path profile)."""
         import numpy as np
 
         from ..ring.poly import EVAL, residue_planes_from_ints
@@ -165,38 +201,41 @@ class DebugBGGEncodingPltEvaluator:
         # ONE host residue pass + numpy broadcast views for the y polys
         # (a device Poly.const per gate was ~40% of encoding-path LUT time)
         ys_res = residue_planes_from_ints(params, y_vals)  # [L, B]
-        L, B_ = ys_res.shape
+        L, B = ys_res.shape
         ys = [
             Poly(
                 np.broadcast_to(ys_res[:, i : i + 1], (L, params.n)), EVAL, params
             )
-            for i in range(B_)
+            for i in range(B)
         ]
         a_lts = derive_a_lt_matrices_batch(
             params, d, self.hash_key, [it[2] for it in items]
-        )
-        B = len(items)
+        )  # numpy EVAL views after one fetch
+        # pad batch width to pow2 (fresh widths = fresh XLA compiles)
+        padB = B
+        if B > 16:
+            padB = 1
+            while padB < B:
+                padB *= 2
+        a_host = np.concatenate(
+            [np.asarray(a.data) for a in a_lts]
+            + [np.asarray(a_lts[-1].data)] * (padB - B),
+            axis=1,
+        )  # [L, padB*d, m, n]
+        y_host = np.concatenate(
+            [ys_res, np.repeat(ys_res[:, -1:], padB - B, axis=1)], axis=1
+        ) if padB != B else ys_res
         jt = params.jt
-        g_data = PolyMatrix.gadget_matrix(params, d).to_eval().data  # [L, d, m, n]
-        y_data = jnp.stack([jnp.asarray(y.data) for y in ys], axis=1)  # [L, B, n]
-        gy = ew_mul(
-            jnp.tile(g_data, (1, B, 1, 1)),
-            jnp.repeat(y_data, d, axis=1)[:, :, None, :],
-            jt.moduli, jt.qinv_neg, jt.r2,
-        )  # [L, B*d, m, n]
-        a_data = jnp.concatenate([a.to_eval().data for a in a_lts], axis=1)
-        diff = ew_sub(a_data, gy, jt.moduli)  # [L, B*d, m, n]
-        L, _, m, n = diff.shape
-        diff_b = jnp.transpose(diff.reshape(L, B, d, m, n), (1, 0, 2, 3, 4))
+        g_data = PolyMatrix.gadget_matrix(params, d).to_eval().data
         s_data = self.secret_vec.to_eval().data  # [L, 1, d, n]
-        s_b = jnp.broadcast_to(s_data, (B,) + s_data.shape)
-        vec = jax.vmap(zq_matmul, in_axes=(0, 0, None, None, None, None))(
-            s_b, diff_b, jt.moduli, jt.qinv_neg, jt.combine_pows_mont,
-            jt.sign_corr_pows,
-        )  # [B, L, 1, m, n]
+        vec = _lut_enc_kernel(
+            a_host, y_host, s_data, g_data, jt.moduli, jt.qinv_neg, jt.r2,
+            jt.combine_pows_mont, jt.sign_corr_pows,
+        )  # [padB, L, 1, m, n]
+        host_vec = np.asarray(vec)  # one fetch; slices below are views
         return [
             BggEncoding(
-                PolyMatrix(vec[i], EVAL, params),
+                PolyMatrix(host_vec[i], EVAL, params),
                 BggPublicKey(a_lts[i], True),
                 ys[i],
             )

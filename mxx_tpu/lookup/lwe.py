@@ -44,18 +44,45 @@ def derive_a_lt_matrix(params, row_size: int, hash_key: bytes, gate_id: int,
     return HashSampler().sample_hash(params, hash_key, tag, row_size, m_g, FinRingDist())
 
 
+_A_LT_CACHE: dict = {}
+_A_LT_CACHE_BYTES = [0]
+_A_LT_CACHE_LIMIT = 1 << 28  # 256 MB of numpy planes; FIFO-evicted
+
+
 def derive_a_lt_matrices_batch(params, row_size: int, hash_key: bytes,
                                gate_ids: list[int], slot_idx=None,
                                context: str = "") -> list[PolyMatrix]:
     """Many gates' A_LT in ONE device program — bit-identical per-gate to
     `derive_a_lt_matrix` (same tags/streams). LUT-heavy nested-RNS circuits
     evaluate thousands of PubLut gates per level; per-gate hash dispatch was
-    the dominant eval cost before batching (round-3 profile)."""
+    the dominant eval cost before batching (round-3 profile).
+
+    Results are memoized in a bounded FIFO cache: a protocol derives the SAME
+    hash-determined A_LT planes once per pass (obfuscate pubkey pass, then
+    every eval) — at real-mode test scale the re-derivation was ~20% of the
+    encoding-path eval (round-5 profile). Entries are immutable numpy views,
+    safe to share across passes."""
+    ck = (
+        params.n, params.crt_depth, params.crt_bits, params.base_bits,
+        row_size, hash_key, slot_idx or 0, context, tuple(gate_ids),
+    )
+    hit = _A_LT_CACHE.get(ck)
+    if hit is not None:
+        return list(hit[0])
     m_g = row_size * params.modulus_digits
     tags = [f"A_LT_{_ctx_tag(context)}{g}_slot{slot_idx or 0}" for g in gate_ids]
-    return HashSampler().sample_hash_batch(
+    out = HashSampler().sample_hash_batch(
         params, hash_key, tags, row_size, m_g, FinRingDist(), eval_form=True
     )
+    nbytes = sum(int(m.data.nbytes) for m in out)
+    if nbytes <= _A_LT_CACHE_LIMIT:
+        while _A_LT_CACHE and _A_LT_CACHE_BYTES[0] + nbytes > _A_LT_CACHE_LIMIT:
+            oldest = next(iter(_A_LT_CACHE))
+            _, old_bytes = _A_LT_CACHE.pop(oldest)
+            _A_LT_CACHE_BYTES[0] -= old_bytes
+        _A_LT_CACHE[ck] = (out, nbytes)
+        _A_LT_CACHE_BYTES[0] += nbytes
+    return list(out)
 
 
 def _k_low_tag(gate_id: int, lut_id: int, lut_entry_idx: int, slot_idx=None,

@@ -47,3 +47,13 @@ def table_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def pcast_varying(x, axes):
+    """`jax.lax.pcast(..., to='varying')` with fallback for older jax."""
+    axes = tuple(axes)
+    if not axes:
+        return x
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, axes, to="varying")
+    return jax.lax.pvary(x, axes)

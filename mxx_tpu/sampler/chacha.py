@@ -63,6 +63,29 @@ def _quarter_round(s, a, b, c, d):
     s[a], s[b], s[c], s[d] = sa, sb, sc, sd
 
 
+def _match_vma(arrays):
+    """Promote every array to the union of the inputs' varying manual axes.
+
+    Under `shard_map`, mixing shard-varying values (e.g. a key folded with
+    `axis_index`) with invariant ones in a `fori_loop` carry fails typing;
+    `pvary` on the invariant components fixes the carry. Outside shard_map
+    every vma set is empty and this is the identity."""
+    axes: set = set()
+    for a in arrays:
+        axes |= set(getattr(jax.typeof(a), "vma", ()))
+    if not axes:
+        return arrays
+    out = []
+    for a in arrays:
+        missing = tuple(ax for ax in axes
+                        if ax not in getattr(jax.typeof(a), "vma", ()))
+        if missing:
+            from ..parallel.mesh import pcast_varying
+            a = pcast_varying(a, missing)
+        out.append(a)
+    return out
+
+
 def _chacha_blocks(key8, counters, nonce0, nonce1, nonce2):
     """ChaCha20 keystream blocks.
 
@@ -78,7 +101,7 @@ def _chacha_blocks(key8, counters, nonce0, nonce1, nonce2):
     state.append(counters)
     for nw in (nonce0, nonce1, nonce2):
         state.append(jnp.broadcast_to(jnp.asarray(nw, jnp.uint32), (nb,)))
-    init = tuple(state)
+    init = tuple(_match_vma(state))
 
     # The rounds run under lax.fori_loop rather than unrolled: a fully
     # unrolled 20-round graph is ~1000 chained elementwise ops, which XLA:CPU
@@ -116,7 +139,7 @@ def _chacha_blocks_words_major(key8, counters, nonce0, nonce1, nonce2):
     state.append(counters)
     for nw in (nonce0, nonce1, nonce2):
         state.append(jnp.broadcast_to(jnp.asarray(nw, jnp.uint32), (nb,)))
-    init = tuple(state)
+    init = tuple(_match_vma(state))
 
     def double_round(_, s):
         s = list(s)
@@ -169,7 +192,7 @@ def _chacha_blocks_keys(keys, counters, nonce0, nonce1, nonce2):
     state.append(counters)
     for nw in (nonce0, nonce1, nonce2):
         state.append(jnp.broadcast_to(jnp.asarray(nw, jnp.uint32), (nb,)))
-    init = tuple(state)
+    init = tuple(_match_vma(state))
 
     def double_round(_, s):
         s = list(s)

@@ -69,6 +69,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
 from ..matrix import PolyMatrix
 from ..ring.params import RingParams
 from ..utils.numth import modinv
@@ -357,10 +362,11 @@ class TrapdoorSampler:
         base_key = self._key
 
         @jax.jit
-        def core(target_data, r_data, e_data, pub_data, sqrt_var, upd, ctr):
+        def core(target_data, r_data, e_data, pub_data, sqrt_var, upd, ctr,
+                 shard_idx):
             from ..ring.poly import COEFF, EVAL
 
-            key = chacha.fold_in(base_key, ctr)
+            key = chacha.fold_in(chacha.fold_in(base_key, ctr), shard_idx)
             ks = chacha.split(key, 3)
             kp2, kp1, kg = ks[0], ks[1], ks[2]
             cols = target_data.shape[2]
@@ -392,6 +398,64 @@ class TrapdoorSampler:
 
         self._p1_cache[cache_id] = core
         return core
+
+    def _sharded_preimage_fn(self, mesh, core):
+        """shard_map wrapper of the fused preimage core over the col mesh
+        axis: each shard folds its axis index into the sampling key and runs
+        the whole chain locally — zero collectives by construction."""
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import COL_AXIS
+
+        cache_id = ("shard_fn", id(mesh), id(core))
+        entry = self._p1_cache.get(cache_id)
+        if entry is not None and entry[0] is mesh and entry[1] is core:
+            return entry[2]
+
+        def body(tgt, r_d, e_d, pub_d, sv, up, ct):
+            idx = jax.lax.axis_index(COL_AXIS).astype(jnp.uint32)
+            # The shard index makes the sampling keys vary over the col axis;
+            # mark every operand varying so fori_loop carries type-check
+            # (replicated inputs are semantically per-shard copies here).
+            def vary(x):
+                from ..parallel.mesh import pcast_varying
+
+                if COL_AXIS in getattr(jax.typeof(x), "vma", ()):
+                    return x
+                return pcast_varying(x, (COL_AXIS,))
+            return core(vary(tgt), vary(r_d), vary(e_d), vary(pub_d),
+                        vary(sv), vary(up), vary(ct), idx)
+
+        fn = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(None, None, COL_AXIS, None), P(), P(), P(), P(),
+                      P(), P()),
+            out_specs=P(None, None, COL_AXIS, None),
+        )
+        self._p1_cache[cache_id] = (mesh, core, fn)
+        return fn
+
+    def _preimage_operands(self, params: RingParams, trapdoor: "Trapdoor",
+                           public_matrix: PolyMatrix, s: float):
+        """Device-resident (r, e, pub, sqrt_var, upd) operands, cached per
+        (trapdoor, public_matrix) so a steady-state preimage call is a single
+        remote dispatch."""
+        ops_id = ("ops", id(trapdoor), id(public_matrix))
+        entry = self._p1_cache.get(ops_id)
+        if entry is None or entry[0] is not trapdoor or entry[1] is not public_matrix:
+            sqrt_var, upd = self._p1_tables(params, trapdoor, s)
+            entry = (
+                trapdoor,
+                public_matrix,
+                trapdoor.r.to_coeff().data,
+                trapdoor.e.to_coeff().data,
+                public_matrix.to_eval().data,
+                jnp.asarray(sqrt_var),
+                jnp.asarray(upd),
+            )
+            self._p1_cache[ops_id] = entry
+        return entry[2:]
 
     def trapdoor(self, params: RingParams, size: int) -> tuple[Trapdoor, PolyMatrix]:
         d = size
@@ -425,26 +489,14 @@ class TrapdoorSampler:
         # Operand conversions and the LDL tables are cached device-resident so
         # a steady-state call is a single remote dispatch (tunnel RTT is the
         # per-program cost on axon).
-        ops_id = ("ops", id(trapdoor), id(public_matrix))
-        entry = self._p1_cache.get(ops_id)
-        if entry is None or entry[0] is not trapdoor or entry[1] is not public_matrix:
-            sqrt_var, upd = self._p1_tables(params, trapdoor, s)
-            entry = (
-                trapdoor,
-                public_matrix,
-                trapdoor.r.to_coeff().data,
-                trapdoor.e.to_coeff().data,
-                public_matrix.to_eval().data,
-                jnp.asarray(sqrt_var),
-                jnp.asarray(upd),
-            )
-            self._p1_cache[ops_id] = entry
-        r_data, e_data, pub_data, sqrt_var_j, upd_j = entry[2:]
+        r_data, e_data, pub_data, sqrt_var_j, upd_j = self._preimage_operands(
+            params, trapdoor, public_matrix, s
+        )
         core = self._preimage_core(params, trapdoor, public_matrix, d)
         self._ctr += 1
         data = core(
             target.to_eval().data, r_data, e_data, pub_data,
-            sqrt_var_j, upd_j, jnp.uint32(self._ctr),
+            sqrt_var_j, upd_j, jnp.uint32(self._ctr), jnp.uint32(0),
         )
         return PolyMatrix(data, EVAL, params)
 
@@ -460,32 +512,55 @@ class TrapdoorSampler:
         over a device mesh (TPU-native analog of the reference's multi-GPU
         round-robin `preimage_batched_sharded`, trapdoor/gpu.rs:371-397).
 
-        Column blocks are embarrassingly parallel, so sharding the fused
-        preimage program over the `col` mesh axis needs no collectives —
-        XLA partitions every per-column op and only the caller-side split
-        gathers. With mesh=None this is a plain batched call (one dispatch
-        for the whole batch instead of one per request)."""
-        from jax.sharding import NamedSharding, PartitionSpec
+        Column blocks are embarrassingly parallel, so the mesh path runs the
+        fused preimage program under `shard_map` over the `col` mesh axis:
+        every shard samples its own p2/p1/G-coset chain from a key folded
+        with its shard index, and the compiled program contains ZERO
+        collectives by construction (asserted by
+        scripts/comm_volume_analysis.py; GSPMD alone re-gathers at the NTT's
+        batch-dim flatten because merging [rows, cols] with the minor axis
+        sharded is not expressible as a named sharding). With mesh=None this
+        is a plain batched call (one dispatch for the whole batch instead of
+        one per request)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
         from ..parallel.mesh import COL_AXIS
 
         assert targets, "preimage_batched_sharded requires targets"
         widths = [t.ncol for t in targets]
+        total = sum(widths)
         combined = targets[0].concat_columns(targets[1:]) if len(targets) > 1 else targets[0]
         combined = combined.to_eval()
         if mesh is not None:
-            # shard only the batched column axis: requests are embarrassingly
-            # parallel; limbs stay replicated so small L never constrains the
-            # mesh shape
-            sharded = jax.device_put(
-                combined.data,
-                NamedSharding(mesh, PartitionSpec(None, None, COL_AXIS, None)),
-            )
             from ..ring.poly import EVAL
 
-            combined = PolyMatrix(sharded, EVAL, params)
+            d = public_matrix.nrow
+            k = params.modulus_digits
+            s = preimage_smoothing_parameter(self.base, self.sigma, d, params.n, k)
+            r_data, e_data, pub_data, sqrt_var_j, upd_j = self._preimage_operands(
+                params, trapdoor, public_matrix, s
+            )
+            core = self._preimage_core(params, trapdoor, public_matrix, d)
+            ncs = int(mesh.shape[COL_AXIS])
+            pad = (-total) % ncs
+            cdata = combined.data
+            if pad:
+                last = jax.lax.slice_in_dim(cdata, total - 1, total, axis=2)
+                cdata = jnp.concatenate(
+                    [cdata] + [last] * pad, axis=2
+                )
+            tgt_sh = jax.device_put(
+                cdata, NamedSharding(mesh, P(None, None, COL_AXIS, None))
+            )
+            self._ctr += 1
+            ctr = jnp.uint32(self._ctr)
+            fn = self._sharded_preimage_fn(mesh, core)
             with mesh:
-                out = self.preimage(params, trapdoor, public_matrix, combined)
+                data = fn(tgt_sh, r_data, e_data, pub_data, sqrt_var_j,
+                          upd_j, ctr)
+            out = PolyMatrix(data, EVAL, params)
+            if pad:
+                out = out.slice_columns(0, total)
         else:
             out = self.preimage(params, trapdoor, public_matrix, combined)
         outs = []

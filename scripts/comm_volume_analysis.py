@@ -114,19 +114,14 @@ def main():
     tgt = us.sample_uniform(params, 1, cols, FinRingDist()).to_eval()
 
     core = ts._preimage_core(params, td, pub, 1)
-    sqrt_var, upd = ts._p1_tables(
-        params, td,
-        __import__("mxx_tpu.sampler.trapdoor", fromlist=["x"]).preimage_smoothing_parameter(
-            ts.base, ts.sigma, 1, params.n, params.modulus_digits),
-    )
+    s = __import__("mxx_tpu.sampler.trapdoor", fromlist=["x"]).preimage_smoothing_parameter(
+        ts.base, ts.sigma, 1, params.n, params.modulus_digits)
+    r_data, e_data, pub_data, sqrt_var, upd = ts._preimage_operands(params, td, pub, s)
+    sharded_fn = jax.jit(ts._sharded_preimage_fn(mesh, core))
     tgt_sh = jax.device_put(tgt.data, NamedSharding(mesh, P(None, None, "col", None)))
-    args = (
-        tgt_sh,
-        td.r.to_coeff().data, td.e.to_coeff().data, pub.to_eval().data,
-        jnp.asarray(sqrt_var), jnp.asarray(upd), 7,
-    )
+    args = (tgt_sh, r_data, e_data, pub_data, sqrt_var, upd, jnp.uint32(7))
     with mesh:
-        cb, _ = analyze("preimage plane, col-sharded (P4)", core, args)
+        cb, _ = analyze("preimage plane, col-sharded shard_map (P4)", sharded_fn, args)
     assert not cb, f"preimage plane must be collective-free, got {cb}"
 
     # Replicated baseline: same program, no sharding -> every chip touches the
@@ -165,15 +160,37 @@ def main():
     cp = tab(p2.np_combine_pows_mont, P(None, "limb"))
     sc = tab(p2.np_sign_corr_pows, P(None, "limb"))
 
-    @jax.jit
-    def step(a, b, psi, psi_i, n_inv, q, qinv, cp, sc):
+    # Col sharding is applied plane-level via shard_map (automatic GSPMD
+    # propagates the LIMB axis through every op collective-free, but loses a
+    # minor-axis col sharding at the NTT's batch-dim flatten and re-gathers;
+    # the production sharded planes — preimage, LWE offline, injector — all
+    # ride shard_map for exactly this reason, trapdoor._sharded_preimage_fn).
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    def step_local(a, b, psi, psi_i, n_inv, q, qinv, cp, sc):
+        from mxx_tpu.parallel.mesh import pcast_varying
+        vary = lambda x: pcast_varying(
+            x, tuple({"limb", "col"} - set(getattr(jax.typeof(x), "vma", ()))))
+        a, b, psi, psi_i, n_inv, q, qinv, cp, sc = map(
+            vary, (a, b, psi, psi_i, n_inv, q, qinv, cp, sc))
         fa = ntt_fwd(a, psi, q, qinv)
         fb = ntt_fwd(b, psi, q, qinv)
         fc = zq_matmul(fa, fb, q, qinv, cp, sc)
         return ntt_inv(fc, psi_i, n_inv, q, qinv)
 
+    step = jax.jit(shard_map(
+        step_local, mesh=mesh,
+        in_specs=(P("limb", None, None, None), P("limb", None, "col", None),
+                  P("limb"), P("limb"), P("limb"), P("limb"), P("limb"),
+                  P(None, "limb"), P(None, "limb")),
+        out_specs=P("limb", None, "col", None),
+    ))
+
     with mesh:
-        cb2, _ = analyze("NTT->matmul->iNTT, limb x col sharded (P2+P3)",
+        cb2, _ = analyze("NTT->matmul->iNTT, limb x col shard_map (P2+P3)",
                          step, (a, b, psi, psi_i, n_inv, q, qinv, cp, sc))
     assert not cb2, f"limb/col pipeline must be collective-free, got {cb2}"
 

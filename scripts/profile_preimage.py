@@ -34,7 +34,11 @@ key = chacha.fold_in(ts._key, 1)
 
 
 def probe(x):
-    np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[:1]
+    # device-side 1-element slice, THEN host fetch: np.asarray on the full
+    # output would measure the tunnel D2H transfer (~minutes for a 67 MB
+    # plane), not execution
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf.reshape(-1)[:1])
 
 
 def timeit(name, fn, *args, iters=3):
