@@ -142,6 +142,7 @@ class DiamondIO:
             )
             num_slots = payload_slots
         self.num_slots = num_slots
+        self.mesh = mesh
         self.injector = DiamondInjector(
             params, input_count, self.base, batch_bits, trapdoor_sigma, error_sigma,
             seed, mesh=mesh, secret_size=secret_size,
@@ -321,6 +322,7 @@ class DiamondIO:
                 self.params, self.prf_config, hk,
                 self._trap, self.input_count, self.batch_bits,
                 secret_size=self.secret_size, num_slots=self.payload_slots,
+                mesh=self.mesh,
             )
             self._prf_hash_key = hk
         return self._prf

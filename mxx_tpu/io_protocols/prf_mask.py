@@ -92,8 +92,10 @@ class PrfDebugArtifacts:
 class PrfMaskPipeline:
     def __init__(self, params, config: PrfConfig, hash_key: bytes,
                  trap_sampler, input_count: int, batch_bits: int,
-                 secret_size: int = 1, num_slots: int = 1):
+                 secret_size: int = 1, num_slots: int = 1, mesh=None):
         self.params = params
+        # offline rebase/refresh preimage planes shard over the mesh col axis
+        self.mesh = mesh
         self.cfg = config
         self.hash_key = hash_key
         self.trap = trap_sampler
@@ -425,7 +427,7 @@ class PrfMaskPipeline:
                             )
                         )
                     rebase_pres = self.trap.preimage_batched_chunked(
-                        params, td0, b0, rebase_targets
+                        params, td0, b0, rebase_targets, mesh=self.mesh
                     )
                     for wire_idx, pre in enumerate(rebase_pres):
                         write_matrix(
@@ -472,7 +474,7 @@ class PrfMaskPipeline:
                     for mid, pre in zip(
                         refresh_ids,
                         self.trap.preimage_batched_chunked(
-                            params, td0, b0, refresh_targets
+                            params, td0, b0, refresh_targets, mesh=self.mesh
                         ),
                     ):
                         write_matrix(mid, pre)
@@ -784,7 +786,7 @@ class PrfMaskPipeline:
                     for mid, pre in zip(
                         rebase_ids,
                         self.trap.preimage_batched_chunked(
-                            params, td0, b0, rebase_targets
+                            params, td0, b0, rebase_targets, mesh=self.mesh
                         ),
                     ):
                         write_matrix(mid, pre)
@@ -829,7 +831,7 @@ class PrfMaskPipeline:
                     for mid, pre in zip(
                         refresh_ids,
                         self.trap.preimage_batched_chunked(
-                            params, td0, b0, refresh_targets
+                            params, td0, b0, refresh_targets, mesh=self.mesh
                         ),
                     ):
                         write_matrix(mid, pre)

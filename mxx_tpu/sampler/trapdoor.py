@@ -371,8 +371,8 @@ class TrapdoorSampler:
             kp2, kp1, kg = ks[0], ks[1], ks[2]
             cols = target_data.shape[2]
             target = PolyMatrix(target_data, EVAL, params)
-            r_mat = PolyMatrix(r_data, COEFF, params)
-            e_mat = PolyMatrix(e_data, COEFF, params)
+            r_e = PolyMatrix(r_data, EVAL, params)
+            e_e = PolyMatrix(e_data, EVAL, params)
             pub = PolyMatrix(pub_data, EVAL, params)
             # p2 ~ rounded normal at sigma_large (Peikert branch, sigma > 300).
             # f32 rint above 2^24 coarsens support to multiples of 2^(e-24) —
@@ -380,21 +380,27 @@ class TrapdoorSampler:
             # granularity ~1e-7 of sigma_large: statistically negligible.
             gn = chacha.normal(kp2, (d * k, cols, params.n), jnp.float32)
             p2_int = jnp.rint(gn * jnp.float32(sigma_large))
-            p2 = _matrix_from_signed(params, p2_int)
-            tp2c = _centered_lift_f64(r_mat.concat_rows([e_mat]) @ p2)
+            # Transform every matrix exactly ONCE (NTT is linear and exact,
+            # so reusing the EVAL forms is bit-identical): the previous chain
+            # re-NTT'd p2 inside pub @ [p1; p2], re-NTT'd z for each of the
+            # r@z / e@z products, and NTT'd the COEFF-added output block —
+            # ~2x the transform traffic of the round-5 restructure (the NTT
+            # passes are the dominant preimage cost, profile_preimage.py).
+            p2e = _matrix_from_signed(params, p2_int).to_eval()
+            tp2c = _centered_lift_f64(r_e.concat_rows([e_e]) @ p2e)
             p1i = _sample_p1_ints(tp2c, sqrt_var, upd, c_scale, kp1)
-            p1 = _matrix_from_signed(params, p1i)
-            p_hat = p1.concat_rows([p2])
-            syndrome = (target - pub @ p_hat).to_coeff()
+            p1e = _matrix_from_signed(params, p1i).to_eval()
+            p_hat_e = p1e.concat_rows([p2e])
+            syndrome = (target - pub @ p_hat_e).to_coeff()
             z_i = _gauss_samp_gq(
                 syndrome.data, kg, base_bits=base_bits, dpt=dpt,
                 moduli=moduli, sigma=sigma, c=c,
             )
-            z = _matrix_from_signed(params, z_i)
-            top = p1.slice_rows(0, d) + r_mat @ z
-            mid = p1.slice_rows(d, 2 * d) + e_mat @ z
-            bot = p2 + z
-            return top.concat_rows([mid, bot]).to_eval().data
+            ze = _matrix_from_signed(params, z_i).to_eval()
+            top = p1e.slice_rows(0, d) + r_e @ ze
+            mid = p1e.slice_rows(d, 2 * d) + e_e @ ze
+            bot = p2e + ze
+            return top.concat_rows([mid, bot]).data
 
         self._p1_cache[cache_id] = core
         return core
@@ -445,11 +451,13 @@ class TrapdoorSampler:
         entry = self._p1_cache.get(ops_id)
         if entry is None or entry[0] is not trapdoor or entry[1] is not public_matrix:
             sqrt_var, upd = self._p1_tables(params, trapdoor, s)
+            # r/e ship in EVAL form: the core uses them only in matmuls, so
+            # pre-transforming once here saves 4 small NTTs per call
             entry = (
                 trapdoor,
                 public_matrix,
-                trapdoor.r.to_coeff().data,
-                trapdoor.e.to_coeff().data,
+                trapdoor.r.to_eval().data,
+                trapdoor.e.to_eval().data,
                 public_matrix.to_eval().data,
                 jnp.asarray(sqrt_var),
                 jnp.asarray(upd),

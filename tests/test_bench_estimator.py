@@ -2,6 +2,8 @@
 
 from decimal import Decimal
 
+import pytest
+
 import mxx_tpu  # noqa: F401
 
 from mxx_tpu.ring.params import RingParams
@@ -90,6 +92,7 @@ def test_per_wire_type_cost_models():
     assert scalar.cost("Add") > 0
 
 
+@pytest.mark.slow
 def test_estimate_diamond_io_real_prf_shape():
     """The protocol estimator builds the REAL-mode wrapped circuit (Goldreich
     PRG over Ring-GSW seed wires, no debug replay) and prices every phase,

@@ -2,6 +2,8 @@
 
 from decimal import Decimal
 
+import pytest
+
 import mxx_tpu  # noqa: F401
 
 from mxx_tpu.ring.params import RingParams
@@ -73,6 +75,7 @@ def test_injector_error_simulation():
     assert sim2.state_errors[0].poly_norm.norm > sim.state_errors[0].poly_norm.norm
 
 
+@pytest.mark.slow
 def test_diamond_io_find_crt_depth():
     """Diamond CRT-depth search under the COMPOSED budget (injector ->
     PRF rounds -> refresh -> mask decrypt -> decode; reference

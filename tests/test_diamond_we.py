@@ -1,6 +1,10 @@
 """Diamond witness encryption round-trips (mirrors diamond_we.rs tests)."""
 
+import pytest
+
 import mxx_tpu  # noqa: F401
+
+pytestmark = pytest.mark.slow
 
 from mxx_tpu.ring.params import RingParams
 from mxx_tpu.circuit import PolyCircuit

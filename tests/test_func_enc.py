@@ -1,5 +1,7 @@
 """AKY24-style functional encryption round-trip."""
 
+import pytest
+
 import mxx_tpu  # noqa: F401
 
 from mxx_tpu.ring.params import RingParams
@@ -27,6 +29,7 @@ def test_aky24_fe_roundtrip():
             assert fe.dec(params, ct, fsk, func) == (b0 ^ b1), (b0, b1)
 
 
+@pytest.mark.slow
 def test_aky24_fe_with_noise():
     params = RingParams.new(16, 3, 20, 5)
     fe = Aky24FuncEnc(msg_bits=2, error_sigma=3.0, seed=102)

@@ -7,6 +7,8 @@ import random
 
 import numpy as np
 
+import pytest
+
 import mxx_tpu  # noqa: F401
 
 from mxx_tpu.ring.params import RingParams
@@ -38,6 +40,7 @@ def _material(ctx, params, k_int, v_bits, rng, digits):
     return RefreshMaterialCts(errors=errors, masks=masks)
 
 
+@pytest.mark.slow
 def test_refresh_preserves_value_and_strips_input_error():
     # crt_depth=3: the rounding threshold per level is qhat_i/2 = (product of
     # the OTHER limbs)/2; the input error is amplified by G^{-1}(qhat G)'s

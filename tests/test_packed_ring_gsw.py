@@ -5,6 +5,8 @@ algebra (the remaining Diamond-iO payload-type delta's core construction)."""
 import math
 import random
 
+import pytest
+
 import mxx_tpu  # noqa: F401
 
 from mxx_tpu.circuit import PolyCircuit
@@ -60,6 +62,7 @@ def test_packed_gsw_poly_key_decrypt():
     assert got == want, (got, want)
 
 
+@pytest.mark.slow
 def test_packed_gsw_external_product():
     # 2 slots keep the conv fan-out CI-sized; the negacyclic wrap is still
     # exercised (X * X = -1 mod X^2 + 1)
@@ -98,6 +101,7 @@ def test_packed_gsw_external_product():
     assert got == want, (got, want)
 
 
+@pytest.mark.slow
 def test_packed_gsw_goldreich_prg():
     """Goldreich PRG over PACKED Ring-GSW ciphertexts with a polynomial key:
     seed bits as degree-0 plaintexts under ring-element ciphertext entries

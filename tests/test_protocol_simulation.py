@@ -41,6 +41,7 @@ def _make_prf(params, mask_bits: int = 1):
     )
 
 
+@pytest.mark.slow
 def test_composed_budget_phases_and_margin():
     """The composed budget produces every phase bound, the steady-state
     refreshed error is input-independent, and the margin arithmetic is
@@ -95,6 +96,7 @@ def test_diamond_compose_input_error():
     assert e_enc > state > 0
 
 
+@pytest.mark.slow
 def test_aky24_fe_bench_and_simulation():
     from mxx_tpu.func_enc.bench import (
         estimate_aky24_dec,

@@ -7,6 +7,8 @@ tests with zero error for exact relation checks.
 
 import random
 
+import pytest
+
 import mxx_tpu  # noqa: F401
 
 from mxx_tpu.ring.params import RingParams
@@ -74,6 +76,7 @@ def test_gsw_homomorphic_ops_in_circuit():
     assert ok, info
 
 
+@pytest.mark.slow
 def test_gsw_xor_and():
     params = RingParams.new(4, 1, 14, 1)  # single small q-level keeps the circuit compact
     circuit = PolyCircuit()
@@ -102,6 +105,7 @@ def test_gsw_xor_and():
     assert ok, ("and", info)
 
 
+@pytest.mark.slow
 def test_gsw_slot_parallel_vec():
     """SIMD GSW: one xor circuit evaluated over PolyVec wires runs an
     independent GSW instance per slot (reference ring_gsw packed path,
