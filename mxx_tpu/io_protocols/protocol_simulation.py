@@ -78,6 +78,8 @@ def simulate_prf_protocol_error(
     rounds: int | None = None,
     num_outputs: int = 1,
     plt_norm_factory=None,
+    replay_mode: bool = False,
+    use_affine: bool = False,
 ) -> PrfProtocolErrorSimulation:
     """Compose the full per-phase error budget for one PRF-mask protocol run.
 
@@ -94,6 +96,22 @@ def simulate_prf_protocol_error(
         plt_norm = NormPltLWEEvaluator(ctx, Decimal(error_sigma))
     else:
         plt_norm = plt_norm_factory(ctx)
+    # use_affine: evaluate the norm circuits through the affine eval_error
+    # engine (cached affine sub-circuit summaries; identical bounds,
+    # validated at protocol scale by test_eval_error_affine) — the direct
+    # walk over the production-depth PRG circuits (gadget_len ~370 at
+    # n=65536/L=53) takes hours, the affine engine minutes (reference
+    # eval_error/mod.rs exists for exactly this reason)
+    if use_affine:
+        from ..simulator import AffineLWEWrapper, simulate_max_error_norm_affine
+
+        def _sim(circuit, ctx_, one, ninp, inp_norm, plt_evaluator=None):
+            pe = AffineLWEWrapper(plt_evaluator) if plt_evaluator is not None else None
+            return simulate_max_error_norm_affine(
+                circuit, ctx_, one, ninp, inp_norm, pe
+            )
+    else:
+        _sim = simulate_max_error_norm
     sim = PrfProtocolErrorSimulation(ctx)
     sim.input_error_bits = bits_ceil(Decimal(input_error_norm))
 
@@ -108,7 +126,16 @@ def simulate_prf_protocol_error(
     )
 
     # --- per-round PRF evolution: first round + steady state -------------
-    total_rounds = prf.input_count if rounds is None else rounds
+    # replay_mode prices the DEBUG-REPLAY pipeline (the reference's own e2e
+    # test mode, diamond_io.rs:122-134): PRG round outputs and mask
+    # ciphertexts are FRESH valid encryptions recorded in the obfuscation,
+    # so no PRG rounds evolve the seed error and the mask-ct error is the
+    # fresh encryption bound. This is the bound a CI-scale e2e run can be
+    # compared against (the full real-mode bound only turns positive at
+    # production depths).
+    total_rounds = (
+        0 if replay_mode else (prf.input_count if rounds is None else rounds)
+    )
     reps = min(2, total_rounds)
     seed_error = Decimal(input_error_norm)
     for rep in range(reps):
@@ -116,7 +143,7 @@ def simulate_prf_protocol_error(
         # the same norm structure (reference error_simulation.rs
         # simulate_representative_prf_enc_seed_error)
         circuit = prf.build_prg_round_circuit(rep, representative=True)
-        outs = simulate_max_error_norm(
+        outs = _sim(
             circuit, ctx, Decimal(1), circuit.num_input, seed_error,
             plt_evaluator=plt_norm,
         )
@@ -153,12 +180,17 @@ def simulate_prf_protocol_error(
     )
     from ..decoder.mask_circuit import mask_plaintext_moduli_from_full_modulus
 
-    edge = prf.build_prg_round_circuit(total_rounds, representative=True)
-    outs = simulate_max_error_norm(
-        edge, ctx, Decimal(1), edge.num_input, seed_error,
-        plt_evaluator=plt_norm,
-    )
-    mask_ct_error = _max_norm(outs)
+    if replay_mode:
+        # fresh valid encryption: coefficient error ~ N(0, sigma), bounded
+        # by the Gaussian tail over the ring dimension
+        mask_ct_error = GAUSS_TAIL * Decimal(error_sigma) * ctx.ring_dim_sqrt
+    else:
+        edge = prf.build_prg_round_circuit(total_rounds, representative=True)
+        outs = _sim(
+            edge, ctx, Decimal(1), edge.num_input, seed_error,
+            plt_evaluator=plt_norm,
+        )
+        mask_ct_error = _max_norm(outs)
 
     # representative ONE-ciphertext decrypt, scaled by bits_per_output (the
     # per-bit decrypts SUM into the output wire — reference
@@ -173,7 +205,7 @@ def simulate_prf_protocol_error(
         dec_circuit, [ct] * len(moduli), key, moduli
     )
     dec_circuit.output([sd, pb])
-    outs = simulate_max_error_norm(
+    outs = _sim(
         dec_circuit, ctx, Decimal(1), dec_circuit.num_input, mask_ct_error,
         plt_evaluator=plt_norm,
     )
@@ -186,7 +218,7 @@ def simulate_prf_protocol_error(
     sim.mask_error_bits = bits_ceil(mask_error)
 
     # --- user function circuit -------------------------------------------
-    outs = simulate_max_error_norm(
+    outs = _sim(
         function_circuit, ctx, Decimal(1), function_circuit.num_input,
         Decimal(input_error_norm), plt_evaluator=plt_norm,
     )

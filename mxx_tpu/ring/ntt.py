@@ -190,12 +190,20 @@ def ntt_inv(x, psi_inv_rev_mont, n_inv_mont, q, qinv_neg):
 
 def _fused_plan(params, x) -> tuple[int, int] | None:
     """(n1, p_polys) for the fused Pallas four-step kernel, or None when the
-    chain should run: requires MXX_NTT_FUSED=1 (a cold fused compile costs
-    ~60s per shape on the tunneled TPU, so opt-in), a TPU backend, and shapes
-    satisfying the kernel's exactness bounds (n2 <= 128, p*n1 <= 128)."""
+    chain should run: requires a TPU backend and shapes satisfying the
+    kernel's exactness bounds (n2 <= 128, p*n1 <= 128).
+
+    DEFAULT-ON for qualifying TPU shapes since round 5: inside large fused
+    programs (preimage, GSW external products) the Pallas kernel nearly
+    doubles throughput vs the radix chain (preimage 151 -> 289 cols/s,
+    ext-prods 687 -> 885/s on the attached v5e) — the chain's lax.map
+    chunking blocks XLA pipelining there. Set MXX_NTT_FUSED=0 to opt out
+    (a cold fused compile costs ~60s per distinct shape on the tunneled
+    TPU; shape families are pow2-bucketed throughout, so steady-state
+    protocol runs amortize it)."""
     import os
 
-    if os.environ.get("MXX_NTT_FUSED") != "1":
+    if os.environ.get("MXX_NTT_FUSED", "1") == "0":
         return None
     if jax.default_backend() == "cpu":
         return None

@@ -151,3 +151,51 @@ def test_diamond_io_packed_payload_e2e(tmp_path):
     for bits in ([0, 1], [1, 1]):
         out = dio.eval(tmp_path, obf, xor_and_builder, bits)
         assert out == [bits[0] ^ bits[1], bits[0] & bits[1]], (bits, out)
+
+
+def test_diamond_io_real_mode_e2e(tmp_path):
+    """REAL-MODE Diamond iO e2e (VERDICT r4 directive #1): NO debug flags —
+    no debug_encrypt_random_prg_wires (the per-round PRG runs in-circuit over
+    the seed wires), no debug_reuse_single_material, refresh_wire_limit=None
+    (every wire refreshed each round), PRG-derived refresh material.
+    Smallest config (n=2, L=2). LUT gates use the secret-oracle debug
+    evaluators (production LWE algebra covered by test_lwe_modp_chain and
+    test_production_lwe_diamond). Mirrors the reference's flagship e2e
+    (/root/reference/src/io/diamond_io.rs:428-469,
+    tests/test_gpu_diamond_io.rs; real-mode PRG circuit_prg.rs:30).
+
+    Wall time: see BENCHMARKS.md round-5 ("real-mode e2e timings")."""
+    params = RingParams.new(2, 2, 9, 9)
+    cfg = PrfConfig(
+        seed_bits=5,
+        prf_mask_output_coeff_bits=1,
+        p_moduli_bits=8,
+        # >= 2: a GSW external product multiplies two FULL-REDUCED values, so
+        # the p-basis budget must cover ((sum_p + k) * q)^2
+        max_unreduced_muls=2,
+        noise_refresh_v_bits=1,
+        p_basis="wide",
+        # REAL MODE: no debug flags, every wire refreshed
+        debug_encrypt_random_prg_wires=False,
+        debug_reuse_single_material=False,
+        refresh_wire_limit=None,
+    )
+    dio = DiamondIO(
+        params, input_count=1, batch_bits=1, seed=7,
+        prf_config=cfg,
+        pk_plt_evaluator_factory=lambda s, d, hk, pre: DebugBGGPubKeyPltEvaluator(hk),
+        enc_plt_evaluator_factory=lambda s, d, obf, states, digits:
+            DebugBGGEncodingPltEvaluator(
+                obf.hash_key, s.injector.debug_final_secret_matrix(d, digits)
+            ),
+    )
+
+    def builder(circuit, bits):
+        return [bits[0]]
+
+    obf = dio.obfuscate(tmp_path, builder)
+    # real mode records NO replayed PRG/mask ciphertexts
+    assert obf.prf_debug is None or not getattr(obf.prf_debug, "prg_cts", None)
+    for bits in ([0], [1]):
+        out = dio.eval(tmp_path, obf, builder, bits)
+        assert out == [bits[0]], (bits, out)
