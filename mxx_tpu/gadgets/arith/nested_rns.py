@@ -808,3 +808,114 @@ def nested_rns_negacyclic_conv(a: NestedRnsPoly, b: NestedRnsPoly,
             nxt.append(terms[-1])
         terms = nxt
     return terms[0]
+
+
+def _level_ntt_stage_wires(ctx, circuit, lvl_wires, specs_left, specs_right):
+    """One butterfly stage on a single level's component wires: per-component
+    slot transfers (scalars reduced mod p_i so wire traces stay in the mod-p
+    LUT domain), a mod-p reduce of the scaled side, then the add."""
+    out = []
+    for i, w in enumerate(lvl_wires):
+        p_i = ctx.p_moduli[i]
+        left_i = [(src, None if s is None else s % p_i) for src, s in specs_left]
+        right_i = [(src, None if s is None else s % p_i) for src, s in specs_right]
+        a = circuit.slot_transfer_gate(w, left_i)
+        b = circuit.slot_transfer_gate(w, right_i)
+        a = circuit.public_lookup_gate(a, ctx.lut_mod_p_ids[i])
+        b = circuit.public_lookup_gate(b, ctx.lut_mod_p_ids[i])
+        out.append(circuit.add_gate(a, b))
+    return out
+
+
+def nested_level_ntt(poly: NestedRnsPoly, circuit: PolyCircuit,
+                     num_slots: int, inverse: bool = False) -> NestedRnsPoly:
+    """In-circuit negacyclic NTT over packed slots, applied independently to
+    every q-level with that level's twiddles (q_i = params CRT moduli are
+    1 mod 2n, so primitive 2*num_slots-th roots exist for any slot count
+    dividing the ring dimension).
+
+    The butterfly structure mirrors gadgets/ntt_circuit.{forward,inverse}_ntt
+    (natural -> bit-reversed forward, merged-psi convention of ring/ntt.py);
+    the arithmetic runs on nested-RNS wires: per-component slot transfers
+    carry the twiddle mod p_i (value congruence survives componentwise
+    reduction while the represented value stays below the p-CRT budget), and
+    each stage ends in a single-level full_reduce back to a canonical
+    residue mod q_level. Requires a context with max_unreduced_muls >= 2
+    (stage values reach ~q^2 before the reduce). This is the packed-slot
+    domain switch the reference's CKKS keeps disabled
+    (/root/reference/src/gadgets/mod.rs:5-6, src/gadgets/ntt/mod.rs:1-16)."""
+    from ...utils import numth
+
+    if num_slots == 1:
+        return poly
+    ctx = poly.ctx
+    qs = poly._active_moduli()
+    x = poly.full_reduce(circuit)
+    x = x.lazy_reduce(circuit)
+    out_wires, out_vb, out_tb = [], [], []
+    n = num_slots
+    ln = n.bit_length() - 1
+    assert 1 << ln == n, "num_slots must be a power of two"
+    for lvl_idx, q in enumerate(qs):
+        psi = numth.find_primitive_2n_root(q, n)
+        if inverse:
+            psi = numth.modinv(psi, q)
+        psi_rev = [pow(psi, numth.bit_reverse(i, ln), q) for i in range(n)]
+        lvl = NestedRnsPoly(
+            ctx, [list(x.wires[lvl_idx])],
+            level_offset=poly.level_offset + lvl_idx, enable_levels=1,
+            value_bounds=[x.value_bounds[lvl_idx]],
+            trace_bounds=[x.trace_bounds[lvl_idx]],
+        )
+        if not inverse:
+            m, t = 1, n
+            while m < n:
+                t //= 2
+                left, right = [], []
+                for slot in range(n):
+                    blk, off = divmod(slot, 2 * t)
+                    j = blk * 2 * t + (off % t)
+                    w = psi_rev[m + blk]
+                    left.append((j, None))
+                    right.append((j + t, w if off < t else q - w))
+                wires = _level_ntt_stage_wires(ctx, circuit, lvl.wires[0],
+                                               left, right)
+                lvl = replace(
+                    lvl, wires=[wires],
+                    value_bounds=[lvl.value_bounds[0] * q],
+                    trace_bounds=[2 * (ctx.p_max - 1)],
+                )
+                lvl = lvl.full_reduce(circuit)
+                m *= 2
+        else:
+            t, m = 1, n
+            while m > 1:
+                h = m // 2
+                left, right = [], []
+                for slot in range(n):
+                    blk, off = divmod(slot, 2 * t)
+                    j = blk * 2 * t + (off % t)
+                    tw = psi_rev[h + blk]
+                    if off < t:
+                        left.append((j, None))
+                        right.append((j + t, None))
+                    else:
+                        left.append((j, tw))
+                        right.append((j + t, q - tw))
+                wires = _level_ntt_stage_wires(ctx, circuit, lvl.wires[0],
+                                               left, right)
+                lvl = replace(
+                    lvl, wires=[wires],
+                    value_bounds=[lvl.value_bounds[0] * q],
+                    trace_bounds=[2 * (ctx.p_max - 1)],
+                )
+                lvl = lvl.full_reduce(circuit)
+                t *= 2
+                m = h
+            lvl = lvl.const_mul(numth.modinv(n, q), circuit)
+            lvl = lvl.full_reduce(circuit)
+        out_wires.append(lvl.wires[0])
+        out_vb.append(lvl.value_bounds[0])
+        out_tb.append(lvl.trace_bounds[0])
+    return replace(x, wires=out_wires, value_bounds=out_vb,
+                   trace_bounds=out_tb)

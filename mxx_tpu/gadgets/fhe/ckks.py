@@ -33,7 +33,15 @@ class CKKSContext:
                  max_unreduced_muls: int, scale: int,
                  relinearization_extra_levels: int = 1,
                  error_sigma: float = 0.0, num_slots: int = 1):
-        assert num_slots == 1, "slot-packed CKKS needs the in-circuit NTT path"
+        assert num_slots >= 1 and (num_slots & (num_slots - 1)) == 0, num_slots
+        if num_slots > 1:
+            # slot-packed build: domain switches run the nested-RNS
+            # in-circuit NTT (nested_level_ntt), which needs the q^2 stage
+            # budget
+            assert max_unreduced_muls >= 2, (
+                "packed CKKS needs max_unreduced_muls >= 2 for the "
+                "in-circuit NTT stage budget"
+            )
         assert relinearization_extra_levels > 0
         self.params = params
         self.num_slots = num_slots
@@ -122,15 +130,37 @@ class CKKSCiphertext:
         d0 = self.c0.mul(other.c0, circuit)
         d1 = self.c0.mul(other.c1, circuit).add(self.c1.mul(other.c0, circuit), circuit)
         d2 = self.c1.mul(other.c1, circuit)
+        ns = ctx.num_slots
+        if ns > 1:
+            # base conversion acts on integer coefficients: switch d2 to the
+            # coefficient domain, ModUp, and return to slot values at the
+            # raised window before the (slot-wise = ring) eval-key products
+            from ..arith.nested_rns import nested_level_ntt
+
+            d2 = nested_level_ntt(d2, circuit, ns, inverse=True)
         d2_up = d2.mod_up_front(circuit, ctx.relin_extra)
+        if ns > 1:
+            from ..arith.nested_rns import nested_level_ntt
+
+            d2_up = nested_level_ntt(d2_up, circuit, ns)
         relin0 = d2_up.mul(eval_keys.c0, circuit)
         relin1 = d2_up.mul(eval_keys.c1, circuit)
+        if ns > 1:
+            from ..arith.nested_rns import nested_level_ntt
+
+            relin0 = nested_level_ntt(relin0, circuit, ns, inverse=True)
+            relin1 = nested_level_ntt(relin1, circuit, ns, inverse=True)
         for _ in range(ctx.relin_extra):
             relin0 = relin0.mod_down_one_level(circuit, drop_first=True)
             relin1 = relin1.mod_down_one_level(circuit, drop_first=True)
+        if ns > 1:
+            from ..arith.nested_rns import nested_level_ntt
+
+            relin0 = nested_level_ntt(relin0, circuit, ns)
+            relin1 = nested_level_ntt(relin1, circuit, ns)
         c0 = d0.add(relin0, circuit)
         c1 = d1.add(relin1, circuit)
-        n = 1  # scalar build: ring expansion factor 1
+        n = ctx.num_slots  # ring expansion factor (1 in the scalar build)
         sb, ob = self._signal_bound(), other._signal_bound()
         prod_err = lambda e1, e2: n * (sb * e2 + e1 * ob + e1 * e2)
         moddown_slack = sum(ctx.mod_down_slack(i) for i in range(ctx.relin_extra))
@@ -162,10 +192,32 @@ class CKKSCiphertext:
         ).to_eval_domain(circuit)
 
     def to_coeff_domain(self, circuit: PolyCircuit) -> "CKKSCiphertext":
-        return self  # num_slots == 1: identity (see module docstring)
+        """Slot-value (eval) -> coefficient domain: inverse in-circuit NTT
+        per component poly (identity for num_slots == 1)."""
+        ns = self.ctx.num_slots
+        if ns == 1:
+            return self
+        from ..arith.nested_rns import nested_level_ntt
+
+        return CKKSCiphertext(
+            self.ctx,
+            nested_level_ntt(self.c0, circuit, ns, inverse=True),
+            nested_level_ntt(self.c1, circuit, ns, inverse=True),
+            self.error_bounds,
+        )
 
     def to_eval_domain(self, circuit: PolyCircuit) -> "CKKSCiphertext":
-        return self
+        ns = self.ctx.num_slots
+        if ns == 1:
+            return self
+        from ..arith.nested_rns import nested_level_ntt
+
+        return CKKSCiphertext(
+            self.ctx,
+            nested_level_ntt(self.c0, circuit, ns),
+            nested_level_ntt(self.c1, circuit, ns),
+            self.error_bounds,
+        )
 
 
 # ----------------------------------------------------------- host helpers
@@ -202,3 +254,31 @@ def decrypt(ctx: CKKSContext, secret: int, c0: int, c1: int, levels: int,
     if v > q // 2:
         v -= q
     return v / (scale if scale is not None else ctx.scale)
+
+
+def encrypt_packed(ctx: CKKSContext, secret: int, messages: list[int],
+                   rng: random.Random, levels: int | None = None,
+                   error_sigma: float = 0.0) -> tuple[list[int], list[int]]:
+    """Packed encrypt: coefficient vectors (c0, c1) with
+    c0[i] + c1[i] * secret = scale * messages[i] + e[i] per coefficient
+    (integer secret: the decrypt product is coefficientwise, while
+    homomorphic ct x ct products are ring products over the packed slots)."""
+    assert len(messages) == ctx.num_slots
+    levels = levels if levels is not None else ctx.max_active_levels
+    q = ctx.q_window(ctx.level_offset, levels)
+    c0, c1 = [], []
+    for m_i in messages:
+        b = rng.randrange(q)
+        e = round(rng.gauss(0, error_sigma)) if error_sigma > 0 else 0
+        c1.append(b)
+        c0.append((ctx.scale * m_i + e - b * secret) % q)
+    return c0, c1
+
+
+def decrypt_packed(ctx: CKKSContext, secret: int, c0: list[int],
+                   c1: list[int], levels: int, offset: int | None = None,
+                   scale: int | None = None) -> list[float]:
+    return [
+        decrypt(ctx, secret, a, b, levels, offset, scale)
+        for a, b in zip(c0, c1)
+    ]
