@@ -276,11 +276,48 @@ def test_diamond_io_packed_noise_n256(tmp_path):
     obf = dio.obfuscate(tmp_path, builder)
     # per-R'-coeff mask channel: 4 mask cts per output, NOT n=256
     assert dio._mask_bits_per_output() == 4
+    observed_worst = 0
     for bits in ([0, 1], [1, 1]):
         out = dio.eval(tmp_path, obf, builder, bits)
         assert out == [bits[0] ^ bits[1]], (bits, out)
         for coeff, err, q in dio.last_decode_margins:
             assert err < (q // 4) >> 4, (coeff, err, q)
+            observed_worst = max(observed_worst, int(err))
+
+    # Composed budget vs observed error (VERDICT r4 directive #5): the
+    # replay-mode budget prices exactly the pipeline this test runs (the
+    # reference's own e2e test mode, diamond_io.rs:122-134 — fresh PRG/mask
+    # ciphertexts, no PRG round evolution). Soundness: observed <= bound.
+    # Non-vacuity: bound within SLACK_BITS of the observation (the measured
+    # gap is ~50 bits of worst-case 6.5-sigma tail compounding through the
+    # ~70-gate-deep mask decrypt; a budget regression to astronomically
+    # loose — the round-1 CSV fiction class — or to unsound trips one side).
+    from mxx_tpu.circuit import PolyCircuit
+    from mxx_tpu.io_protocols.protocol_simulation import (
+        diamond_compose_input_error,
+        simulate_prf_protocol_error,
+    )
+
+    fn_circuit = PolyCircuit()
+    ins = fn_circuit.input(2)
+    fn_circuit.output([fn_circuit.xor_gate(ins[0], ins[1])])
+    e_enc, worst_state = diamond_compose_input_error(params, dio.injector, TRAPDOOR_SIGMA)
+    sim = simulate_prf_protocol_error(
+        params, dio._prf_pipeline(), fn_circuit,
+        input_error_norm=e_enc, state_error_norm=worst_state,
+        error_sigma=ERROR_SIGMA, trapdoor_sigma=TRAPDOOR_SIGMA,
+        secret_size=dio.secret_size, replay_mode=True,
+    )
+    observed_bits = observed_worst.bit_length()
+    SLACK_BITS = 64
+    assert observed_bits <= sim.total_error_bits, (
+        f"composed bound unsound: observed {observed_bits} bits > "
+        f"bound {sim.total_error_bits} bits"
+    )
+    assert sim.total_error_bits <= observed_bits + SLACK_BITS, (
+        f"composed bound vacuous: bound {sim.total_error_bits} bits vs "
+        f"observed {observed_bits} bits"
+    )
 
 
 def test_diamond_io_noise(tmp_path):
