@@ -61,9 +61,14 @@ def _dummy_debug(prf, dio, num_outputs: int):
     rng = Drbg(0)
     debug = PrfDebugArtifacts()
     bits_per_output = dio._mask_bits_per_output()
+    packed = dio.payload_slots > 1
     for _ in range(num_outputs):
         debug.final_mask_cts.append(
-            prf._sample_debug_prg_cts(1, bits_per_output, rng, 0.0)
+            prf._sample_debug_prg_cts_packed(
+                [1] * dio.payload_slots, bits_per_output, rng, 0.0
+            )
+            if packed
+            else prf._sample_debug_prg_cts(1, bits_per_output, rng, 0.0)
         )
     return debug
 
@@ -96,8 +101,9 @@ def estimate_diamond_io(
     num_outputs = dio._probe_num_outputs(builder)
     prf = dio._prf_pipeline()
     cfg = dio.prf_config
+    unit = ([1] + [0] * (params.n - 1)) if dio.payload_slots > 1 else 1
     circuit = dio._build_wrapped_circuit(
-        prf, builder, (1, 1), num_outputs,
+        prf, builder, (unit, unit), num_outputs,
         None if not cfg.debug_encrypt_random_prg_wires else _dummy_debug(
             prf, dio, num_outputs
         ),

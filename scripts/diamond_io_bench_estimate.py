@@ -17,6 +17,7 @@ import mxx_tpu  # noqa: F401
 from mxx_tpu.ring.params import RingParams
 from mxx_tpu.io_protocols import DiamondIO
 from mxx_tpu.io_protocols.bench_estimator import estimate_diamond_io
+from mxx_tpu.io_protocols.prf_mask import PrfConfig
 
 
 def and_builder(circuit, bits):
@@ -26,11 +27,18 @@ def and_builder(circuit, bits):
     return [acc]
 
 
+# Rows are COST-MODEL anchors (measured per-op costs composed over the
+# protocol phase structure) at shapes whose wrapped circuit fits host RAM as
+# Python gate objects — the gate count grows ~quadratically with the GSW
+# gadget length (~gl^2 * k^2), and a depth-8 n=4096 wrapped circuit
+# OOM-killed a 128 GB host (round-5 log). Production-scale latencies live in
+# bench/security_bits_100_diamond_io_parameters.csv, which extrapolates with
+# a documented model instead of materializing the circuit.
 CONFIGS = [
     # (input_count, batch_bits, n, depth, crt_bits, base_bits)
-    (4, 2, 4096, 8, 28, 14),
-    (8, 2, 4096, 8, 28, 14),
-    (4, 2, 8192, 10, 28, 14),
+    (4, 2, 256, 3, 28, 14),
+    (8, 2, 256, 3, 28, 14),
+    (4, 2, 1024, 3, 28, 14),
 ]
 
 
@@ -40,7 +48,15 @@ def main():
     rows = []
     for input_count, batch_bits, n, depth, crt_bits, base_bits in CONFIGS:
         params = RingParams.new(n, depth, crt_bits, base_bits)
-        dio = DiamondIO(params, input_count, batch_bits, seed=1)
+        # wide p-basis hosts the nested-RNS budget at 28-bit limbs; the
+        # packed per-R'-coeff mask channel keeps mask bits per output at
+        # payload_slots instead of n (the scalar channel's Goldreich PRG
+        # stretch bound rejects n=4096 outputs from a CI-sized seed)
+        cfg = PrfConfig(seed_bits=4, max_unreduced_muls=2, p_moduli_bits=16,
+                        p_basis="wide", nested_rns_scale=256,
+                        refresh_wire_limit=1)
+        dio = DiamondIO(params, input_count, batch_bits, seed=1,
+                        prf_config=cfg, payload_slots=4)
         est = estimate_diamond_io(dio, and_builder, parallelism=8)
         rows.append(
             {
