@@ -364,7 +364,7 @@ class TrapdoorSampler:
         @jax.jit
         def core(target_data, r_data, e_data, pub_data, sqrt_var, upd, ctr,
                  shard_idx):
-            from ..ring.poly import COEFF, EVAL
+            from ..ring.poly import EVAL
 
             key = chacha.fold_in(chacha.fold_in(base_key, ctr), shard_idx)
             ks = chacha.split(key, 3)
