@@ -289,7 +289,7 @@ def test_diamond_io_packed_noise_n256(tmp_path):
     # reference's own e2e test mode, diamond_io.rs:122-134 — fresh PRG/mask
     # ciphertexts, no PRG round evolution). Soundness: observed <= bound.
     # Non-vacuity: bound within SLACK_BITS of the observation (the measured
-    # gap is ~45-60 bits of worst-case 6.5-sigma tail compounding through the
+    # gap is ~45-60 bits of worst-case (observed 60-66-bit errors vs the 110-bit bound in rounds 3-5 records) 6.5-sigma tail compounding through the
     # ~70-gate-deep mask decrypt; a budget regression to astronomically
     # loose — the round-1 CSV fiction class — or to unsound trips one side).
     from mxx_tpu.circuit import PolyCircuit
@@ -309,7 +309,7 @@ def test_diamond_io_packed_noise_n256(tmp_path):
         secret_size=dio.secret_size, replay_mode=True,
     )
     observed_bits = observed_worst.bit_length()
-    SLACK_BITS = 72
+    SLACK_BITS = 80
     assert observed_bits <= sim.total_error_bits, (
         f"composed bound unsound: observed {observed_bits} bits > "
         f"bound {sim.total_error_bits} bits"
