@@ -4,6 +4,8 @@ evaluation on a LUT-heavy multi-thousand-gate circuit over BGG wires
 
 import random
 
+import pytest
+
 import mxx_tpu  # noqa: F401
 
 from mxx_tpu.ring.params import RingParams
@@ -50,6 +52,7 @@ def test_batched_eval_bit_identical():
         assert a.pubkey.matrix == b.pubkey.matrix
 
 
+@pytest.mark.slow
 def test_budgeted_eval_spills_and_matches():
     """>=10k-gate circuit under a live-bytes budget: peak device-resident
     wire bytes stay bounded, spills actually happen, and results match the

@@ -1,6 +1,8 @@
 """WEE25-backed LUT commit evaluation: offline commit pass, online open pass,
 exact decode (reference commit_eval.rs tests, zero-error encodings)."""
 
+import pytest
+
 import mxx_tpu  # noqa: F401
 
 from mxx_tpu.ring.params import RingParams
@@ -62,6 +64,7 @@ def run_commit_lut(tmp_path, params, table, x_val, n_inputs=1, lookup_wire=0):
     return got, result_pk, s_vec, table[x_val][1]
 
 
+@pytest.mark.slow
 def test_commit_eval_exact_decode(tmp_path):
     params = RingParams.new(4, 2, 17, 17)
     table = {x: (x, (5 * x + 1) % 11) for x in range(4)}

@@ -4,6 +4,8 @@ Mirror of /root/reference/src/lookup/ggh15/mod.rs tests
 (test_ggh15_plt_eval_single_input) with zero error for exact assertions.
 """
 
+import pytest
+
 import mxx_tpu  # noqa: F401
 
 from mxx_tpu.ring.params import RingParams
@@ -76,6 +78,7 @@ def test_ggh15_plt_eval_single_input(tmp_path):
     assert enc.vector == expected_vector
 
 
+@pytest.mark.slow
 def test_ggh15_resume_skips_existing(tmp_path):
     """A second sample_aux_matrices run with the same prefix resumes (no
     re-sampling) and the online path still decodes correctly."""

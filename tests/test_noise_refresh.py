@@ -3,6 +3,8 @@ comes out with FRESH error (exact at zero state error) and the same value."""
 
 import random
 
+import pytest
+
 import mxx_tpu  # noqa: F401
 
 from mxx_tpu.ring.params import RingParams
@@ -67,6 +69,7 @@ def test_noise_refresh_removes_error(tmp_path):
     assert not (dirty.vector == dirty_expected)
 
 
+@pytest.mark.slow
 def test_naive_vec_crt_split_refresh(tmp_path):
     """CRT-level-split refresh: dirty per-level twisted-residue wires come out
     fresh and recompose into one exact encoding of x_hat ~ x (within the

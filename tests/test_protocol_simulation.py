@@ -114,6 +114,7 @@ def test_aky24_fe_bench_and_simulation():
     assert sim.total_error_bits > 0 and len(sim.refreshed_error_bits) == 2
 
 
+@pytest.mark.slow
 def test_aky24_io_and_we_bench_estimators():
     from mxx_tpu.input_injector import DiamondInjector
     from mxx_tpu.io_protocols.aky24_io import Aky24IO, estimate_aky24_io

@@ -52,6 +52,7 @@ def test_native_encrypt_relation():
         assert ok, info
 
 
+@pytest.mark.slow
 def test_gsw_homomorphic_ops_in_circuit():
     params = RingParams.new(4, 1, 14, 1)  # single small q-level keeps the circuit compact
     circuit = PolyCircuit()
