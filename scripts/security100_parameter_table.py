@@ -41,6 +41,13 @@ must be POSITIVE at the selected depth.
 
 Run ON THE TPU: python scripts/security100_parameter_table.py
 (set SKIP_TPU=1 to reuse the recorded anchors instead of re-measuring).
+
+AKY24 iO / FE share every phase of this budget except the input
+composition (fresh Gaussian sigma*tail ~ 5+log2(6.5*sigma*sqrt(n)) bits
+instead of the injector chain's ~500): the same fitted amplification and
+closed-form refresh/mask composition applies with the smaller input term,
+so AKY24 margins dominate the Diamond rows at equal (depth, v)
+(reference aky24 error_simulation.rs shares the machinery the same way).
 """
 
 import csv
