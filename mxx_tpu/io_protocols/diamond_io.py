@@ -712,6 +712,10 @@ class DiamondIO:
         sel = PolyMatrix.identity(params, self.secret_size).slice_columns(0, 1)
         q = params.modulus
         out_bits = []
+        # per-output decode margins (coeff, centered error vs the nearest
+        # q/2-codeword, q) recorded for margin diagnostics and the
+        # noise-regime margin asserts
+        self.last_decode_margins = []
         for out_idx in range(obf.num_outputs):
             sd_enc = result[3 * out_idx]
             pb_enc = result[3 * out_idx + 1]
@@ -725,6 +729,8 @@ class DiamondIO:
                 + pb_enc.plaintext.coeffs()[0]
                 + pb_mask_enc.plaintext.coeffs()[0]
             ) % q
+            r = coeff % (q // 2)
+            self.last_decode_margins.append((coeff, min(r, q // 2 - r), q))
             out_bits.append(int(decode_centered_masked_integer_coeff(coeff, q, 2)))
         return out_bits
 
